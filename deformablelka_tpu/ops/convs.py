@@ -1,0 +1,139 @@
+"""Channels-last convolution helpers built on `lax.conv_general_dilated`.
+
+Weight layouts (lax defaults for channels-last):
+  2D: (kh, kw, cin_per_group, cout)        — "HWIO"
+  3D: (kd, kh, kw, cin_per_group, cout)    — "DHWIO"
+
+These map onto the TPU MXU via XLA's convolution emitter; depthwise convs
+use `feature_group_count == channels`.
+
+Reference semantics being reproduced (cited for parity checks):
+  /root/reference/3D/d_lka_former/network_architecture/dynunet_block.py:251-277
+  (padding = (k - s + 1) // 2, transposed output_padding = 2p + s - k).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _tuple(v, n: int) -> tuple:
+    if isinstance(v, (tuple, list)):
+        assert len(v) == n
+        return tuple(v)
+    return (v,) * n
+
+
+def same_padding(kernel_size, stride, dilation=1, ndim: int | None = None):
+    """Torch-style symmetric padding `(k_eff - s + 1) // 2` per spatial dim.
+
+    Matches MONAI's `get_padding` (dynunet_block.py:251-262) for stride 1 or 2
+    and odd kernels. Returns a list of (lo, hi) pairs for lax.
+    """
+    if ndim is None:
+        ndim = len(kernel_size) if isinstance(kernel_size, (tuple, list)) else 1
+    ks = _tuple(kernel_size, ndim)
+    st = _tuple(stride, ndim)
+    dil = _tuple(dilation, ndim)
+    pads = []
+    for k, s, d in zip(ks, st, dil):
+        k_eff = d * (k - 1) + 1
+        p = (k_eff - s + 1) // 2
+        if p < 0:
+            raise ValueError("negative padding; adjust kernel/stride")
+        pads.append((p, p))
+    return pads
+
+
+def conv2d(x, w, *, stride=1, padding="same", dilation=1, groups: int = 1,
+           bias=None, precision=None):
+    """2D conv, x: (B, H, W, Cin), w: (kh, kw, Cin//groups, Cout)."""
+    st = _tuple(stride, 2)
+    dil = _tuple(dilation, 2)
+    if padding == "same":
+        padding = same_padding(w.shape[:2], st, dil, ndim=2)
+    elif isinstance(padding, int):
+        padding = [(padding, padding)] * 2
+    elif isinstance(padding, (tuple, list)) and padding and isinstance(padding[0], int):
+        padding = [(p, p) for p in padding]
+    out = lax.conv_general_dilated(
+        x, w.astype(x.dtype), window_strides=st, padding=padding,
+        rhs_dilation=dil, feature_group_count=groups,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+def conv3d(x, w, *, stride=1, padding="same", dilation=1, groups: int = 1,
+           bias=None, precision=None):
+    """3D conv, x: (B, D, H, W, Cin), w: (kd, kh, kw, Cin//groups, Cout)."""
+    st = _tuple(stride, 3)
+    dil = _tuple(dilation, 3)
+    if padding == "same":
+        padding = same_padding(w.shape[:3], st, dil, ndim=3)
+    elif isinstance(padding, int):
+        padding = [(padding, padding)] * 3
+    elif isinstance(padding, (tuple, list)) and padding and isinstance(padding[0], int):
+        padding = [(p, p) for p in padding]
+    out = lax.conv_general_dilated(
+        x, w.astype(x.dtype), window_strides=st, padding=padding,
+        rhs_dilation=dil, feature_group_count=groups,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"), precision=precision)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+def depthwise_conv2d(x, w, *, stride=1, padding="same", dilation=1, bias=None):
+    """Depthwise 2D conv; w: (kh, kw, 1, C)."""
+    return conv2d(x, w, stride=stride, padding=padding, dilation=dilation,
+                  groups=x.shape[-1], bias=bias)
+
+
+def depthwise_conv3d(x, w, *, stride=1, padding="same", dilation=1, bias=None):
+    """Depthwise 3D conv; w: (kd, kh, kw, 1, C)."""
+    return conv3d(x, w, stride=stride, padding=padding, dilation=dilation,
+                  groups=x.shape[-1], bias=bias)
+
+
+def conv_transpose(x, w, *, stride, padding="same", bias=None):
+    """Transposed conv matching torch's ConvTransposeNd with
+    padding = (k - s + 1) // 2 and output_padding = 2p + s - k
+    (dynunet_block.py:265-277), i.e. output size = input * stride when k >= s.
+
+    x: (B, *spatial, Cin), w: (*kernel, Cin, Cout) — note IO order: we store
+    transposed-conv kernels as (spatial..., Cin, Cout).
+
+    Implemented as lhs-dilated convolution with a spatially-flipped kernel,
+    which is exactly torch's grad-of-conv formulation.
+    """
+    ndim = x.ndim - 2
+    ks = w.shape[:ndim]
+    st = _tuple(stride, ndim)
+    if padding == "same":
+        p = [pp[0] for pp in same_padding(ks, st, 1, ndim=ndim)]
+    else:
+        p = list(_tuple(padding, ndim))
+    out_pad = [2 * pi + si - ki for pi, si, ki in zip(p, st, ks)]
+    if any(op < 0 for op in out_pad):
+        raise ValueError("negative output padding")
+    # Equivalent dilated conv padding: lo = k - 1 - p, hi = k - 1 - p + out_pad
+    pad_cfg = [(k - 1 - pi, k - 1 - pi + op)
+               for k, pi, op in zip(ks, p, out_pad)]
+    # Flip kernel spatially and swap I/O: (..., Cin, Cout) -> conv weight
+    w_flip = jnp.flip(w, axis=tuple(range(ndim)))
+    if ndim == 2:
+        dn = ("NHWC", "HWIO", "NHWC")
+    else:
+        dn = ("NDHWC", "DHWIO", "NDHWC")
+    out = lax.conv_general_dilated(
+        x, w_flip.astype(x.dtype), window_strides=(1,) * ndim, padding=pad_cfg,
+        lhs_dilation=st, dimension_numbers=dn)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out

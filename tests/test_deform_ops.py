@@ -1,0 +1,128 @@
+"""Parity tests for the deformable conv ops against loop references.
+
+Mirrors the role of /root/reference/3D/dcn/test.py (gradcheck + smoke) for
+the new framework: forward parity vs an independent oracle, plus gradient
+finite-difference checks.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deformablelka_tpu.ops import deform_conv2d, deform_conv3d
+from tests.references import deform_conv2d_ref, deform_conv3d_ref
+
+
+RNG = np.random.RandomState(0)
+
+
+def test_deform2d_identity_offsets_match_conv():
+    """Zero offsets must reduce to a plain convolution."""
+    from deformablelka_tpu.ops import conv2d
+    B, H, W, C = 2, 9, 11, 4
+    x = RNG.randn(B, H, W, C).astype(np.float32)
+    w = RNG.randn(3, 3, C, 8).astype(np.float32) * 0.3
+    off = np.zeros((B, H, W, 2 * 9), np.float32)
+    got = deform_conv2d(jnp.array(x), jnp.array(off), jnp.array(w),
+                        stride=1, padding=1)
+    want = conv2d(jnp.array(x), jnp.array(w), padding=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("groups,cout", [(1, 6), (3, 6), (6, 6)])
+def test_deform2d_vs_reference(groups, cout):
+    B, H, W, C = 2, 7, 8, 6
+    kh = kw = 3
+    x = RNG.randn(B, H, W, C).astype(np.float32)
+    w = (RNG.randn(kh, kw, C // groups, cout) * 0.3).astype(np.float32)
+    off = (RNG.randn(B, H, W, 2 * kh * kw) * 2.0).astype(np.float32)
+    bias = RNG.randn(cout).astype(np.float32)
+    got = deform_conv2d(jnp.array(x), jnp.array(off), jnp.array(w),
+                        jnp.array(bias), stride=1, padding=1, groups=groups)
+    want = deform_conv2d_ref(x, off, w, bias, stride=1, padding=1,
+                             groups=groups)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+def test_deform2d_dilated_5x5():
+    """The D-LKA configuration: depthwise 5x5 then 7x7 dilation 3."""
+    B, H, W, C = 1, 14, 14, 4
+    x = RNG.randn(B, H, W, C).astype(np.float32)
+    w = (RNG.randn(5, 5, 1, C) * 0.3).astype(np.float32)
+    off = (RNG.randn(B, H, W, 2 * 25) * 3.0).astype(np.float32)
+    got = deform_conv2d(jnp.array(x), jnp.array(off), jnp.array(w),
+                        stride=1, padding=2, groups=C)
+    want = deform_conv2d_ref(x, off, w, None, stride=1, padding=2, groups=C)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+    w7 = (RNG.randn(7, 7, 1, C) * 0.2).astype(np.float32)
+    off7 = (RNG.randn(B, H, W, 2 * 49) * 2.0).astype(np.float32)
+    got7 = deform_conv2d(jnp.array(x), jnp.array(off7), jnp.array(w7),
+                         stride=1, padding=9, dilation=3, groups=C)
+    want7 = deform_conv2d_ref(x, off7, w7, None, stride=1, padding=9,
+                              dilation=3, groups=C)
+    np.testing.assert_allclose(np.asarray(got7), want7, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("groups,cout", [(1, 4)])
+def test_deform3d_vs_reference(groups, cout):
+    B, D, H, W, C = 1, 5, 6, 7, 4
+    k = 3
+    x = RNG.randn(B, D, H, W, C).astype(np.float32)
+    w = (RNG.randn(k, k, k, C // groups, cout) * 0.3).astype(np.float32)
+    off = (RNG.randn(B, D, H, W, 3 * k ** 3) * 1.5).astype(np.float32)
+    bias = RNG.randn(cout).astype(np.float32)
+    got = deform_conv3d(jnp.array(x), jnp.array(off), jnp.array(w),
+                        jnp.array(bias), stride=1, padding=1, groups=groups)
+    want = deform_conv3d_ref(x, off, w, bias, stride=1, padding=1,
+                             groups=groups)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+def test_deform3d_zero_offset_is_conv():
+    from deformablelka_tpu.ops import conv3d
+    B, D, H, W, C = 1, 4, 5, 6, 3
+    x = RNG.randn(B, D, H, W, C).astype(np.float32)
+    w = (RNG.randn(3, 3, 3, C, 5) * 0.3).astype(np.float32)
+    off = np.zeros((B, D, H, W, 3 * 27), np.float32)
+    got = deform_conv3d(jnp.array(x), jnp.array(off), jnp.array(w),
+                        stride=1, padding=1)
+    want = conv3d(jnp.array(x), jnp.array(w), padding=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_deform2d_grad_finite_difference():
+    """Spot-check autodiff gradients vs central differences."""
+    B, H, W, C = 1, 5, 5, 2
+    x = RNG.randn(B, H, W, C).astype(np.float64).astype(np.float32)
+    w = (RNG.randn(3, 3, 1, C) * 0.3).astype(np.float32)
+    off = (RNG.randn(B, H, W, 18) * 0.7).astype(np.float32)
+
+    def loss(x_, off_, w_):
+        out = deform_conv2d(x_, off_, w_, stride=1, padding=1, groups=C)
+        return jnp.sum(out ** 2)
+
+    g_x, g_off, g_w = jax.grad(loss, argnums=(0, 1, 2))(
+        jnp.array(x), jnp.array(off), jnp.array(w))
+
+    eps = 1e-3
+    for (arr, grad, name) in ((off, g_off, "offset"), (w, g_w, "weight")):
+        flat = arr.reshape(-1)
+        for idx in RNG.choice(flat.size, size=6, replace=False):
+            pert = flat.copy()
+            pert[idx] += eps
+            up = loss(jnp.array(x), *(
+                (jnp.array(pert.reshape(arr.shape)), jnp.array(w))
+                if name == "offset"
+                else (jnp.array(off), jnp.array(pert.reshape(arr.shape)))))
+            pert[idx] -= 2 * eps
+            dn = loss(jnp.array(x), *(
+                (jnp.array(pert.reshape(arr.shape)), jnp.array(w))
+                if name == "offset"
+                else (jnp.array(off), jnp.array(pert.reshape(arr.shape)))))
+            fd = (float(up) - float(dn)) / (2 * eps)
+            an = float(np.asarray(grad).reshape(-1)[idx])
+            assert abs(fd - an) < 2e-1 * max(1.0, abs(fd)), (name, idx, fd, an)
