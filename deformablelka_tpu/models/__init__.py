@@ -1,0 +1,9 @@
+"""Model zoo: 3D D-LKA Former (Synapse/ACDC/Pancreas), 2D MaxViT D-LKA Net,
+ablation nets, and the registry."""
+
+from deformablelka_tpu.models.dlka_former import (
+    DLKAFormer,
+    dlka_former_synapse,
+    dlka_former_acdc,
+    dlka_net_pancreas,
+)

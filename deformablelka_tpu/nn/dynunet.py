@@ -1,0 +1,122 @@
+"""UNet building blocks (MONAI dynunet-derived behaviour, channels-last).
+
+Parity targets:
+  /root/reference/3D/d_lka_former/network_architecture/dynunet_block.py:12-248
+  — UnetResBlock (conv-norm-lrelu ×2 + projected residual), UnetBasicBlock,
+  UnetUpBlock (transposed conv + concat + basic block), UnetOutBlock (1×1),
+  with padding (k-s+1)//2 and LeakyReLU(0.01).
+
+Norms: `norm_name` "instance" → InstanceNorm(affine), "batch" → BatchNorm
+(matching MONAI get_norm_layer semantics used at dynunet_block.py:55,126).
+Works for both 2D (B,H,W,C) and 3D (B,D,H,W,C) inputs.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Union
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from deformablelka_tpu.nn.layers import Conv2d, Conv3d, ConvTranspose
+from deformablelka_tpu.nn.norms import BatchNorm, InstanceNorm
+
+
+def _conv(spatial_dims, features, kernel_size, stride=1, name=None,
+          use_bias=False):
+    cls = Conv3d if spatial_dims == 3 else Conv2d
+    return cls(features, kernel_size, stride=stride, padding="same",
+               use_bias=use_bias, name=name)
+
+
+def _norm(norm_name, name):
+    if isinstance(norm_name, (tuple, list)):
+        norm_name = norm_name[0]
+    if norm_name == "instance":
+        return InstanceNorm(name=name)
+    if norm_name == "batch":
+        return BatchNorm(name=name)
+    if norm_name == "group":
+        raise ValueError("group norm needs num_groups; use GroupNorm directly")
+    raise ValueError(f"unsupported norm {norm_name}")
+
+
+def lrelu(x):
+    return nn.leaky_relu(x, negative_slope=0.01)
+
+
+class UnetResBlock(nn.Module):
+    spatial_dims: int
+    out_channels: int
+    kernel_size: Union[int, Sequence[int]]
+    stride: Union[int, Sequence[int]] = 1
+    norm_name: str = "instance"
+
+    @nn.compact
+    def __call__(self, x):
+        in_channels = x.shape[-1]
+        stride_list = (self.stride if isinstance(self.stride, (tuple, list))
+                       else [self.stride])
+        downsample = (in_channels != self.out_channels
+                      or any(s != 1 for s in stride_list))
+        out = _conv(self.spatial_dims, self.out_channels, self.kernel_size,
+                    self.stride, name="conv1")(x)
+        out = _norm(self.norm_name, "norm1")(out)
+        out = lrelu(out)
+        out = _conv(self.spatial_dims, self.out_channels, self.kernel_size,
+                    1, name="conv2")(out)
+        out = _norm(self.norm_name, "norm2")(out)
+        residual = x
+        if downsample:
+            residual = _conv(self.spatial_dims, self.out_channels, 1,
+                             self.stride, name="conv3")(residual)
+            residual = _norm(self.norm_name, "norm3")(residual)
+        return lrelu(out + residual)
+
+
+class UnetBasicBlock(nn.Module):
+    spatial_dims: int
+    out_channels: int
+    kernel_size: Union[int, Sequence[int]]
+    stride: Union[int, Sequence[int]] = 1
+    norm_name: str = "instance"
+
+    @nn.compact
+    def __call__(self, x):
+        out = _conv(self.spatial_dims, self.out_channels, self.kernel_size,
+                    self.stride, name="conv1")(x)
+        out = _norm(self.norm_name, "norm1")(out)
+        out = lrelu(out)
+        out = _conv(self.spatial_dims, self.out_channels, self.kernel_size,
+                    1, name="conv2")(out)
+        out = _norm(self.norm_name, "norm2")(out)
+        return lrelu(out)
+
+
+class UnetUpBlock(nn.Module):
+    spatial_dims: int
+    out_channels: int
+    kernel_size: Union[int, Sequence[int]]
+    upsample_kernel_size: Union[int, Sequence[int]]
+    norm_name: str = "instance"
+
+    @nn.compact
+    def __call__(self, x, skip):
+        out = ConvTranspose(self.out_channels, self.upsample_kernel_size,
+                            stride=self.upsample_kernel_size, use_bias=False,
+                            name="transp_conv")(x)
+        out = jnp.concatenate([out, skip], axis=-1)
+        out = UnetBasicBlock(self.spatial_dims, self.out_channels,
+                             self.kernel_size, 1, self.norm_name,
+                             name="conv_block")(out)
+        return out
+
+
+class UnetOutBlock(nn.Module):
+    spatial_dims: int
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        return _conv(self.spatial_dims, self.out_channels, 1, 1,
+                     use_bias=True, name="conv")(x)

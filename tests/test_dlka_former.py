@@ -1,0 +1,48 @@
+"""Shape/param smoke tests for the 3D D-LKA Former.
+
+Mirrors the reference's __main__ shape tests and fvcore param printouts
+(SURVEY.md §4; d_lka_former_trainer_synapse.py:185-193)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deformablelka_tpu.models.dlka_former import DLKAFormer
+
+
+def _build(trans_block, img=(16, 32, 32), patch=(2, 4, 4), ncls=4):
+    model = DLKAFormer(out_channels=ncls, img_size=img, patch_size=patch,
+                       do_ds=True, trans_block=trans_block)
+    x = jnp.zeros((1, *img, 1), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    return model, variables, x
+
+
+@pytest.mark.parametrize("trans_block", [
+    "TransformerBlock",
+    "TransformerBlock_3D_single_deform_LKA",
+    "TransformerBlock_3D_LKA",
+])
+def test_forward_shapes(trans_block):
+    img, ncls = (16, 32, 32), 4
+    model, variables, x = _build(trans_block, img=img, ncls=ncls)
+    outs = model.apply(variables, x)
+    assert len(outs) == 3
+    assert outs[0].shape == (1, *img, ncls)
+    assert outs[1].shape == (1, img[0] // 2, img[1] // 4, img[2] // 4, ncls)
+    assert outs[2].shape == (1, img[0] // 4, img[1] // 8, img[2] // 8, ncls)
+    assert np.isfinite(np.asarray(outs[0])).all()
+
+
+def test_param_count_synapse_flagship():
+    """Published 3D D-LKA Net: 42.35 M params (BASELINE.md, Synapse_3D)."""
+    model = DLKAFormer(out_channels=14, img_size=(64, 128, 128),
+                       patch_size=(2, 4, 4), do_ds=True,
+                       trans_block="TransformerBlock_3D_single_deform_LKA")
+    x = jnp.zeros((1, 64, 128, 128, 1), jnp.float32)
+    variables = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), x))
+    n = sum(int(np.prod(v.shape)) for v in
+            jax.tree_util.tree_leaves(variables["params"]))
+    assert 40e6 < n < 45e6, f"param count {n/1e6:.2f}M vs published 42.35M"
