@@ -1,0 +1,194 @@
+"""Sliding-window volumetric inference with Gaussian blending + mirror TTA.
+
+Parity targets (re-derived):
+  /root/reference/3D/d_lka_former/network_architecture/neural_network.py
+    :251-264  Gaussian importance map: delta at the centre filtered with
+              σ = patch/8, normalised to max 1, zeros replaced by the min
+              nonzero value.
+    :267-290  step grid: num_steps = ceil((img - patch)/(patch·step)) + 1,
+              spaced evenly over [0, img-patch] and rounded.
+    :292-409  tiled prediction: pad to ≥ patch, loop tiles, per-tile
+              mirror-TTA-averaged softmax × gaussian accumulated into a
+              numerator, gaussian into a denominator, divide, argmax.
+    :502-557  mirror TTA: average of softmax over the 8 flip combinations
+              (undoing each flip before accumulating).
+
+TPU-first design
+----------------
+The reference loops tiles in python, round-tripping each tile through the
+GPU. Here the whole engine is one jit program per (padded-shape, n_tiles)
+bucket: tile origins are data (a static-length array), the tile loop is a
+`lax.scan` with dynamic-slice reads and dynamic-update-slice accumulation,
+and mirror TTA is a batched stack of flips. Multi-chip: tiles are
+embarrassingly parallel — `shard_map` splits the tile axis over the mesh
+and psums the accumulators (see deformablelka_tpu/parallel/).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from scipy.ndimage import gaussian_filter
+
+
+def compute_steps(patch_size, image_size, step_size: float):
+    """nnUNet-compatible sliding-window origins per dim (list of lists)."""
+    assert all(i >= j for i, j in zip(image_size, patch_size))
+    target = [p * step_size for p in patch_size]
+    nsteps = [int(np.ceil((i - p) / t)) + 1
+              for i, p, t in zip(image_size, patch_size, target)]
+    steps = []
+    for dim in range(len(patch_size)):
+        span = image_size[dim] - patch_size[dim]
+        if nsteps[dim] > 1:
+            actual = span / (nsteps[dim] - 1)
+        else:
+            actual = 1e13
+        steps.append([int(np.round(actual * i)) for i in range(nsteps[dim])])
+    return steps
+
+
+@functools.lru_cache(maxsize=8)
+def gaussian_importance_map(patch_size: Tuple[int, ...],
+                            sigma_scale: float = 1.0 / 8) -> np.ndarray:
+    tmp = np.zeros(patch_size)
+    tmp[tuple(p // 2 for p in patch_size)] = 1
+    g = gaussian_filter(tmp, [p * sigma_scale for p in patch_size], 0,
+                        mode="constant", cval=0)
+    g = (g / g.max()).astype(np.float32)
+    g[g == 0] = g[g != 0].min()
+    return g
+
+
+def pad_to_min(x: np.ndarray, patch_size) -> Tuple[np.ndarray, list]:
+    """Pad spatial dims (leading dims of x, channels last) up to patch_size,
+    split evenly (nnUNet pad_nd_image 'constant' semantics). Returns padded
+    array + slicer to undo."""
+    shape = x.shape[:len(patch_size)]
+    new_shape = [max(s, p) for s, p in zip(shape, patch_size)]
+    diff = [n - s for n, s in zip(new_shape, shape)]
+    lo = [d // 2 for d in diff]
+    hi = [d - l for d, l in zip(diff, lo)]
+    pads = [(l, h) for l, h in zip(lo, hi)] + [(0, 0)] * (x.ndim - len(shape))
+    xp = np.pad(x, pads, mode="constant")
+    slicer = [slice(l, l + s) for l, s in zip(lo, shape)]
+    return xp, slicer
+
+
+def _mirror_tta_softmax(apply_fn, params, tile, mirror_axes, do_mirroring):
+    """Average softmax over flip combinations. tile: (1, *spatial, C)."""
+    ndim = tile.ndim - 2
+    spatial_axes = tuple(range(1, 1 + ndim))
+    combos = [()]
+    if do_mirroring:
+        # all non-empty subsets of mirror_axes, matching nnUNet's 8 passes
+        for m in range(1, 2 ** len(mirror_axes)):
+            combo = tuple(a for i, a in enumerate(mirror_axes)
+                          if (m >> i) & 1)
+            combos.append(combo)
+    acc = None
+    for combo in combos:
+        axes = tuple(spatial_axes[a] for a in combo)
+        t = jnp.flip(tile, axes) if axes else tile
+        logits = apply_fn(params, t)
+        if isinstance(logits, (list, tuple)):
+            logits = logits[0]
+        prob = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        prob = jnp.flip(prob, axes) if axes else prob
+        acc = prob if acc is None else acc + prob
+    return acc / len(combos)
+
+
+class SlidingWindowInference:
+    """Jit-compiled tiled 3D prediction.
+
+    Usage:
+        sw = SlidingWindowInference(apply_fn, patch_size=(64,128,128),
+                                    num_classes=14)
+        probs = sw.predict(params, volume)   # volume: (S1,S2,S3,C) numpy
+
+    `apply_fn(params, x)` maps (1, *patch, C) → logits (1, *patch, ncls)
+    (or a deep-supervision list, first entry used).
+    Compilation is cached per (padded_shape, n_tiles) bucket.
+    """
+
+    def __init__(self, apply_fn: Callable, patch_size, num_classes: int,
+                 step_size: float = 0.5, do_mirroring: bool = True,
+                 mirror_axes=(0, 1, 2), use_gaussian: bool = True,
+                 tile_batch: int = 1):
+        self.apply_fn = apply_fn
+        self.patch_size = tuple(patch_size)
+        self.num_classes = num_classes
+        self.step_size = step_size
+        self.do_mirroring = do_mirroring
+        self.mirror_axes = tuple(mirror_axes)
+        self.use_gaussian = use_gaussian
+        self.tile_batch = tile_batch
+        self._jitted = {}
+
+    def _build(self, padded_shape, n_tiles):
+        patch = self.patch_size
+        ncls = self.num_classes
+
+        def run(params, data, origins, gauss):
+            # data: (*padded_shape, C); origins: (n_tiles, 3); gauss: patch
+            num = jnp.zeros((*padded_shape, ncls), jnp.float32)
+            den = jnp.zeros(padded_shape, jnp.float32)
+            gaussian = gauss[..., None]
+
+            def body(carry, origin):
+                num, den = carry
+                o = origin
+                tile = lax.dynamic_slice(
+                    data, (o[0], o[1], o[2], 0),
+                    (*patch, data.shape[-1]))[None]
+                prob = _mirror_tta_softmax(
+                    self.apply_fn, params, tile, self.mirror_axes,
+                    self.do_mirroring)[0]
+                prob = prob * gaussian
+                cur = lax.dynamic_slice(num, (o[0], o[1], o[2], 0),
+                                        (*patch, ncls))
+                num = lax.dynamic_update_slice(num, cur + prob,
+                                               (o[0], o[1], o[2], 0))
+                curd = lax.dynamic_slice(den, (o[0], o[1], o[2]), patch)
+                den = lax.dynamic_update_slice(den, curd + gauss,
+                                               (o[0], o[1], o[2]))
+                return (num, den), None
+
+            (num, den), _ = lax.scan(body, (num, den), origins)
+            return num / den[..., None]
+
+        return jax.jit(run)
+
+    def predict(self, params, volume: np.ndarray,
+                do_mirroring: bool | None = None) -> np.ndarray:
+        """volume: (S1, S2, S3, C) host array → class probabilities
+        (S1, S2, S3, ncls) on host (padding removed)."""
+        if do_mirroring is not None and do_mirroring != self.do_mirroring:
+            self.do_mirroring = do_mirroring
+            self._jitted.clear()
+        data, slicer = pad_to_min(volume, self.patch_size)
+        padded_shape = data.shape[:3]
+        steps = compute_steps(self.patch_size, padded_shape, self.step_size)
+        origins = np.array([(a, b, c) for a in steps[0] for b in steps[1]
+                            for c in steps[2]], np.int32)
+        n_tiles = len(origins)
+        if self.use_gaussian and n_tiles > 1:
+            gauss = gaussian_importance_map(self.patch_size)
+        else:
+            gauss = np.ones(self.patch_size, np.float32)
+        key = (padded_shape, n_tiles)
+        if key not in self._jitted:
+            self._jitted[key] = self._build(padded_shape, n_tiles)
+        probs = self._jitted[key](params, jnp.asarray(data),
+                                  jnp.asarray(origins), jnp.asarray(gauss))
+        probs = np.asarray(probs)
+        return probs[tuple(slicer)]
+
+    def predict_segmentation(self, params, volume: np.ndarray) -> np.ndarray:
+        return np.argmax(self.predict(params, volume), axis=-1)

@@ -99,8 +99,10 @@ class UpBlock(nn.Module):
         if self.use_skip:
             out = out + skip
         if self.conv_decoder:
+            # norm_name "instance" per d_lka_former_synapse.py:23 default
+            # flowing into D_LKA_FormerUpBlock (model_components.py:123-125).
             out = UnetResBlock(3, self.out_channels, kernel_size=3, stride=1,
-                               norm_name="batch", name="decoder_block")(out)
+                               norm_name="instance", name="decoder_block")(out)
         else:
             block_cls = TRANSFORMER_BLOCKS[self.trans_block]
             for j in range(self.depth):

@@ -29,13 +29,13 @@ def _conv(spatial_dims, features, kernel_size, stride=1, name=None,
                use_bias=use_bias, name=name)
 
 
-def _norm(norm_name, name):
+def _norm(norm_name, name, train=False):
     if isinstance(norm_name, (tuple, list)):
         norm_name = norm_name[0]
     if norm_name == "instance":
         return InstanceNorm(name=name)
     if norm_name == "batch":
-        return BatchNorm(name=name)
+        return BatchNorm(name=name, use_running_average=not train)
     if norm_name == "group":
         raise ValueError("group norm needs num_groups; use GroupNorm directly")
     raise ValueError(f"unsupported norm {norm_name}")
@@ -51,6 +51,7 @@ class UnetResBlock(nn.Module):
     kernel_size: Union[int, Sequence[int]]
     stride: Union[int, Sequence[int]] = 1
     norm_name: str = "instance"
+    train: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -61,16 +62,16 @@ class UnetResBlock(nn.Module):
                       or any(s != 1 for s in stride_list))
         out = _conv(self.spatial_dims, self.out_channels, self.kernel_size,
                     self.stride, name="conv1")(x)
-        out = _norm(self.norm_name, "norm1")(out)
+        out = _norm(self.norm_name, "norm1", self.train)(out)
         out = lrelu(out)
         out = _conv(self.spatial_dims, self.out_channels, self.kernel_size,
                     1, name="conv2")(out)
-        out = _norm(self.norm_name, "norm2")(out)
+        out = _norm(self.norm_name, "norm2", self.train)(out)
         residual = x
         if downsample:
             residual = _conv(self.spatial_dims, self.out_channels, 1,
                              self.stride, name="conv3")(residual)
-            residual = _norm(self.norm_name, "norm3")(residual)
+            residual = _norm(self.norm_name, "norm3", self.train)(residual)
         return lrelu(out + residual)
 
 
@@ -80,16 +81,17 @@ class UnetBasicBlock(nn.Module):
     kernel_size: Union[int, Sequence[int]]
     stride: Union[int, Sequence[int]] = 1
     norm_name: str = "instance"
+    train: bool = False
 
     @nn.compact
     def __call__(self, x):
         out = _conv(self.spatial_dims, self.out_channels, self.kernel_size,
                     self.stride, name="conv1")(x)
-        out = _norm(self.norm_name, "norm1")(out)
+        out = _norm(self.norm_name, "norm1", self.train)(out)
         out = lrelu(out)
         out = _conv(self.spatial_dims, self.out_channels, self.kernel_size,
                     1, name="conv2")(out)
-        out = _norm(self.norm_name, "norm2")(out)
+        out = _norm(self.norm_name, "norm2", self.train)(out)
         return lrelu(out)
 
 

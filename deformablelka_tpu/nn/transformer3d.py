@@ -161,7 +161,7 @@ class _SkeletonBlock(nn.Module):
 
         y = attn.reshape(B, S1, S2, S3, C)
         z = UnetResBlock(3, C, kernel_size=3, stride=1, norm_name="batch",
-                         name="conv51")(y)
+                         train=not self.deterministic, name="conv51")(y)
         z = nn.Dropout(0.1, deterministic=self.deterministic,
                        broadcast_dims=(1, 2, 3))(z)
         z = Conv3d(C, 1, use_bias=True, name="conv8")(z)

@@ -1,0 +1,100 @@
+"""Sliding-window engine tests (SURVEY.md §4 layer 3): step grid vs the
+nnUNet formula's documented values, Gaussian properties, and blending
+correctness with a linear model."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from deformablelka_tpu.inference.sliding_window import (
+    SlidingWindowInference, compute_steps, gaussian_importance_map,
+    pad_to_min)
+
+
+def test_steps_documented_example():
+    # neural_network.py:272-274: image 110, patch 64, step 0.5 → [0, 23, 46]
+    steps = compute_steps((64,), (110,), 0.5)
+    assert steps == [[0, 23, 46]]
+
+
+def test_steps_exact_fit_and_overlap():
+    assert compute_steps((64, 128, 128), (64, 128, 128), 0.5) == \
+        [[0], [0], [0]]
+    s = compute_steps((64,), (128,), 0.5)
+    assert s == [[0, 32, 64]]
+    s = compute_steps((64,), (129,), 0.5)
+    assert s[0][0] == 0 and s[0][-1] == 65 and len(s[0]) == 4
+
+
+def test_gaussian_map():
+    g = gaussian_importance_map((8, 16, 16))
+    assert g.shape == (8, 16, 16)
+    assert g.max() == 1.0
+    assert (g > 0).all()
+    assert g[4, 8, 8] == 1.0
+
+
+def test_pad_to_min():
+    x = np.arange(5 * 4 * 3 * 2, dtype=np.float32).reshape(5, 4, 3, 2)
+    xp, slicer = pad_to_min(x, (8, 4, 6))
+    assert xp.shape == (8, 4, 6, 2)
+    np.testing.assert_array_equal(xp[tuple(slicer)], x)
+
+
+def test_blending_identity_model():
+    """A model returning fixed logits must yield exactly softmax(logits)
+    everywhere after Gaussian blending, regardless of tiling."""
+    ncls = 3
+    logits = np.array([0.5, -1.0, 2.0], np.float32)
+
+    def apply_fn(params, x):
+        return jnp.broadcast_to(jnp.asarray(logits),
+                                (*x.shape[:-1], ncls))
+
+    sw = SlidingWindowInference(apply_fn, patch_size=(8, 8, 8),
+                                num_classes=ncls, do_mirroring=True)
+    vol = np.random.RandomState(0).randn(11, 14, 9, 1).astype(np.float32)
+    probs = sw.predict({}, vol)
+    assert probs.shape == (11, 14, 9, ncls)
+    expect = np.exp(logits - logits.max())
+    expect = expect / expect.sum()
+    np.testing.assert_allclose(probs, np.broadcast_to(expect, probs.shape),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_blending_spatially_varying_model():
+    """With a model that depends on input, overlapping-tile blending must be
+    a convex combination: min/max bounded by per-tile min/max; and a
+    single-tile volume must equal the direct forward."""
+    ncls = 2
+
+    def apply_fn(params, x):
+        m = jnp.mean(x, axis=-1, keepdims=True)
+        return jnp.concatenate([m, -m], axis=-1)
+
+    sw = SlidingWindowInference(apply_fn, patch_size=(6, 6, 6),
+                                num_classes=ncls, do_mirroring=False,
+                                use_gaussian=True)
+    vol = np.random.RandomState(1).randn(6, 6, 6, 1).astype(np.float32)
+    probs = sw.predict({}, vol)
+    direct = np.asarray(jax.nn.softmax(
+        np.concatenate([vol.mean(-1, keepdims=True),
+                        -vol.mean(-1, keepdims=True)], -1), axis=-1))
+    np.testing.assert_allclose(probs, direct, rtol=1e-5, atol=1e-5)
+
+
+def test_mirror_tta_symmetric_model():
+    """For a flip-equivariant model (pointwise), TTA must not change the
+    result."""
+    ncls = 2
+
+    def apply_fn(params, x):
+        return jnp.concatenate([x, -x], axis=-1)
+
+    vol = np.random.RandomState(2).randn(8, 8, 8, 1).astype(np.float32)
+    sw_no = SlidingWindowInference(apply_fn, (8, 8, 8), ncls,
+                                   do_mirroring=False)
+    sw_yes = SlidingWindowInference(apply_fn, (8, 8, 8), ncls,
+                                    do_mirroring=True)
+    np.testing.assert_allclose(sw_no.predict({}, vol),
+                               sw_yes.predict({}, vol), rtol=1e-5, atol=1e-6)

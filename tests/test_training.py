@@ -1,0 +1,68 @@
+"""Loss-function unit tests + multichip training-step dry run."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from deformablelka_tpu.training.losses import (
+    SoftDiceLoss, cross_entropy, dc_and_ce_loss, deep_supervision_weights,
+    dice_ce_2d_loss, poly_lr, topk_cross_entropy, generalized_dice_loss,
+    downsample_labels)
+
+
+def test_soft_dice_perfect_prediction():
+    labels = np.random.RandomState(0).randint(0, 3, (2, 4, 4, 4))
+    logits = jax.nn.one_hot(labels, 3) * 100.0
+    loss = SoftDiceLoss(batch_dice=True, do_bg=False)(jnp.asarray(logits),
+                                                      jnp.asarray(labels))
+    assert float(loss) < -0.999  # -mean(dice) → -1 for perfect
+
+
+def test_soft_dice_worst_prediction():
+    labels = np.zeros((1, 4, 4, 4), np.int32)
+    labels[0, :2] = 1
+    logits = np.zeros((1, 4, 4, 4, 2), np.float32)
+    logits[..., 0] = 100.0  # predict all background
+    loss = SoftDiceLoss(batch_dice=True, do_bg=False)(jnp.asarray(logits),
+                                                      jnp.asarray(labels))
+    assert float(loss) > -1e-3  # dice ≈ 0
+
+
+def test_cross_entropy_matches_uniform():
+    logits = jnp.zeros((2, 3, 3, 4))
+    labels = jnp.zeros((2, 3, 3), jnp.int32)
+    assert np.isclose(float(cross_entropy(logits, labels)), np.log(4),
+                      atol=1e-6)
+
+
+def test_ds_weights():
+    w = deep_supervision_weights(3)
+    np.testing.assert_allclose(w, np.array([4, 2, 1]) / 7.0)
+
+
+def test_downsample_labels():
+    lab = np.arange(16).reshape(1, 4, 4)
+    d = downsample_labels(lab, (2, 2))
+    np.testing.assert_array_equal(d, [[[0, 2], [8, 10]]])
+
+
+def test_poly_lr():
+    assert np.isclose(poly_lr(0, 1000, 0.01), 0.01)
+    assert poly_lr(999, 1000, 0.01) < 0.01 * 0.002
+
+
+def test_other_losses_finite():
+    rng = np.random.RandomState(0)
+    logits = jnp.asarray(rng.randn(2, 4, 4, 4, 3).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 3, (2, 4, 4, 4)))
+    for l in (dc_and_ce_loss(logits, labels),
+              dice_ce_2d_loss(logits[:, 0], labels[:, 0]),
+              topk_cross_entropy(logits, labels),
+              generalized_dice_loss(logits, labels)):
+        assert np.isfinite(float(l))
+
+
+def test_dryrun_multichip_8dev():
+    """The driver's multichip validation path on the virtual CPU mesh."""
+    import __graft_entry__
+    __graft_entry__.dryrun_multichip(8)
