@@ -1,0 +1,104 @@
+"""2D D-LKA Net — MaxViT encoder + deformable-LKA decoder (NHWC).
+
+Parity targets:
+  /root/reference/2D/networks/MaxViT_deform_LKA.py:634-696
+    MaxViT_deformableLKAFormer: MaxViT4Out_Small backbone (grayscale input
+    repeated to 3 channels, :683-684), 4 decoder stages with dims
+    (768, 384, 192, 96) at 7/14/28/56; bottom decoder is PatchExpand only
+    (:618-620), others: linear + additive skip + 2× deformableLKABlock +
+    PatchExpand (:600-617); final ×4 expand + 1×1 class head (:574-577).
+  PatchExpand (:488-513): Linear(dim→2dim, no bias) + 2×2 pixel shuffle +
+    LayerNorm(dim/2). FinalPatchExpand_X4 (:516-542): Linear(dim→16dim,
+    no bias) + 4×4 shuffle + LayerNorm(dim).
+  Skin variant: 2D/skin_code/model/MaxViT_LKA_Decoder.py (num_classes=1).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from deformablelka_tpu.models.maxvit import MaxViT4Out
+from deformablelka_tpu.nn.layers import Conv2d, Linear
+from deformablelka_tpu.nn.norms import LayerNorm, BatchNorm
+from deformablelka_tpu.nn.lka2d import deformableLKABlock
+
+
+class PatchExpand(nn.Module):
+    """×2 pixel-shuffle upsample on NHWC maps."""
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        x = Linear(2 * C, use_bias=False, name="expand")(x)
+        x = x.reshape(B, H, W, 2, 2, C // 2)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, 2 * H, 2 * W, C // 2)
+        return LayerNorm(name="norm")(x)
+
+
+class FinalPatchExpand_X4(nn.Module):
+    """×4 pixel-shuffle upsample keeping the channel count."""
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        x = Linear(16 * C, use_bias=False, name="expand")(x)
+        x = x.reshape(B, H, W, 4, 4, C)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, 4 * H, 4 * W, C)
+        return LayerNorm(name="norm")(x)
+
+
+class DecoderLayer(nn.Module):
+    """MyDecoderLayer (MaxViT_deform_LKA.py:545-620) on NHWC maps."""
+    out_dim: int
+    n_class: int = 9
+    is_last: bool = False
+    drop_path: float = 0.0
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, x1, x2=None):
+        if x2 is not None:
+            x = Linear(self.out_dim, name="x1_linear")(x1)
+            x = x + x2
+            x = deformableLKABlock(drop_path=self.drop_path,
+                                   deterministic=self.deterministic,
+                                   name="layer_lka_1")(x)
+            x = deformableLKABlock(drop_path=self.drop_path,
+                                   deterministic=self.deterministic,
+                                   name="layer_lka_2")(x)
+            if self.is_last:
+                x = FinalPatchExpand_X4(name="layer_up")(x)
+                x = Conv2d(self.n_class, 1, use_bias=True,
+                           name="last_layer")(x)
+            else:
+                x = PatchExpand(name="layer_up")(x)
+            return x
+        return PatchExpand(name="layer_up")(x1)
+
+
+class MaxViTDeformableLKAFormer(nn.Module):
+    """The 2D flagship. Input (B, H, W, 1|3) → logits (B, H, W, n_class)."""
+    num_classes: int = 9
+    img_size: int = 224
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        if x.shape[-1] == 1:
+            x = jnp.repeat(x, 3, axis=-1)
+        feats = MaxViT4Out(img_size=self.img_size, name="backbone")(x)
+        e0, e1, e2, e3 = feats  # 96@/4, 192@/8, 384@/16, 768@/32
+
+        det = self.deterministic
+        t3 = DecoderLayer(out_dim=768, n_class=self.num_classes,
+                          deterministic=det, name="decoder_3")(e3)
+        t2 = DecoderLayer(out_dim=384, n_class=self.num_classes,
+                          deterministic=det, name="decoder_2")(t3, e2)
+        t1 = DecoderLayer(out_dim=192, n_class=self.num_classes,
+                          deterministic=det, name="decoder_1")(t2, e1)
+        t0 = DecoderLayer(out_dim=96, n_class=self.num_classes, is_last=True,
+                          deterministic=det, name="decoder_0")(t1, e0)
+        return t0

@@ -1,0 +1,32 @@
+"""2D flagship smoke tests: output shape + published param count
+(101.64 M, BASELINE.md Synapse_2D)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from deformablelka_tpu.models.maxvit_dlka import MaxViTDeformableLKAFormer
+
+
+def test_param_count_2d_flagship():
+    model = MaxViTDeformableLKAFormer(num_classes=9)
+    x = jnp.zeros((1, 224, 224, 1), jnp.float32)
+    variables = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), x))
+    n = sum(int(np.prod(v.shape)) for v in
+            jax.tree_util.tree_leaves(variables["params"]))
+    # Published 101.64M includes ~23M of DEAD parameters: decoder_3's two
+    # deformableLKABlocks + x1_linear are constructed but bypassed in
+    # MaxViT_deform_LKA.py:618-620 (x2 is None → PatchExpand only). Flax
+    # only materialises modules that are called, so the live count is
+    # ~78.6M; the forward-path compute is identical.
+    assert 75e6 < n < 82e6, f"{n/1e6:.2f}M live params (78.6M expected)"
+
+
+def test_forward_shape_small():
+    """Full forward at reduced 64² resolution (window 2) for CPU speed."""
+    model = MaxViTDeformableLKAFormer(num_classes=9, img_size=64)
+    x = jnp.zeros((1, 64, 64, 1), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(variables, x)
+    assert y.shape == (1, 64, 64, 9)
+    assert np.isfinite(np.asarray(y)).all()
