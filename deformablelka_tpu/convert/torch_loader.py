@@ -1,0 +1,373 @@
+"""torch → JAX weight converter.
+
+Handles the reference's checkpoint layouts (SURVEY.md §5 "Checkpoint"):
+- 3D: `model_final_checkpoint.model` dicts with `state_dict` (NCDHW convs),
+  keys possibly prefixed `unetr_pp_encoder`/`d_lka_former_encoder` etc.
+  (3D/rename_layers.py:12-23 renames unetr_pp→d_lka_former — both accepted
+  here).
+- 2D: bare `state_dict` .pth (trainer_MaxViT_deform_LKA.py:180-183).
+- skin: {"model_weights": state_dict, "val_loss": …}
+  (train_skin_2017.py:146-150).
+
+Tensor layout conversions:
+  ConvNd weight (O, I, *k)     → (*k, I, O)
+  ConvTransposeNd (I, O, *k)   → (*k, I, O)
+  Linear (O, I)                → (I, O)
+  Norm weight/bias             → scale/bias (unchanged)
+  BatchNorm running stats      → batch_stats collection
+
+The flax modules were named to mirror the torch attribute paths, so key
+translation is a mechanical path rewrite per model family.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+from typing import Any, Dict
+
+import numpy as np
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch checkpoint into {key: numpy array} without CUDA."""
+    import torch
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict):
+        for k in ("state_dict", "model_weights", "network_weights"):
+            if k in obj and isinstance(obj[k], dict):
+                obj = obj[k]
+                break
+    return {k: v.detach().cpu().numpy() for k, v in obj.items()
+            if hasattr(v, "detach")}
+
+
+def convert_tensor(name: str, arr: np.ndarray, kind: str) -> np.ndarray:
+    """kind: conv | conv_transpose | linear | none."""
+    if kind == "conv":
+        # (O, I, *k) → (*k, I, O)
+        nd = arr.ndim - 2
+        perm = tuple(range(2, 2 + nd)) + (1, 0)
+        return np.ascontiguousarray(arr.transpose(perm))
+    if kind == "conv_transpose":
+        # (I, O, *k) → (*k, I, O)
+        nd = arr.ndim - 2
+        perm = tuple(range(2, 2 + nd)) + (0, 1)
+        return np.ascontiguousarray(arr.transpose(perm))
+    if kind == "linear":
+        return np.ascontiguousarray(arr.T)
+    return arr
+
+
+def _set(tree: dict, path: str, value):
+    parts = path.split("/")
+    node = tree
+    for p in parts[:-1]:
+        node = node.setdefault(p, {})
+    node[parts[-1]] = value
+
+
+def _strip_prefix(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in sd.items():
+        k = re.sub(r"^module\.", "", k)
+        k = k.replace("unetr_pp_encoder", "d_lka_former_encoder")
+        k = k.replace("unetr_pp", "d_lka_former")
+        out[k] = v
+    return out
+
+
+# ---------------------------------------------------------------------------
+# D-LKA Former (3D)
+# ---------------------------------------------------------------------------
+
+def convert_dlka_former(sd: Dict[str, np.ndarray],
+                        depths=(3, 3, 3, 3)) -> Dict[str, Any]:
+    """Build {"params": ..., "batch_stats": ...} for models.DLKAFormer from
+    a reference 3D state_dict."""
+    sd = _strip_prefix(sd)
+    params: dict = {}
+    stats: dict = {}
+
+    def put(path, key, kind):
+        if key not in sd:
+            return False
+        _set(params, path, convert_tensor(key, sd[key], kind))
+        return True
+
+    def put_norm(path, tkey):
+        """torch norm (weight, bias) → scale/bias."""
+        ok = False
+        if f"{tkey}.weight" in sd:
+            _set(params, f"{path}/scale", sd[f"{tkey}.weight"])
+            ok = True
+        if f"{tkey}.bias" in sd:
+            _set(params, f"{path}/bias", sd[f"{tkey}.bias"])
+            ok = True
+        if f"{tkey}.running_mean" in sd:
+            _set(stats, f"{path}/mean", sd[f"{tkey}.running_mean"])
+            _set(stats, f"{path}/var", sd[f"{tkey}.running_var"])
+        return ok
+
+    def conv_block(jpath, tkey):
+        """MONAI Convolution wrapper: <tkey>.conv.weight."""
+        put(f"{jpath}/weight", f"{tkey}.conv.weight", "conv")
+        put(f"{jpath}/bias", f"{tkey}.conv.bias", "none")
+
+    def unet_res_block(jpath, tkey):
+        conv_block(f"{jpath}/conv1", f"{tkey}.conv1")
+        conv_block(f"{jpath}/conv2", f"{tkey}.conv2")
+        put_norm(f"{jpath}/norm1", f"{tkey}.norm1")
+        put_norm(f"{jpath}/norm2", f"{tkey}.norm2")
+        if f"{tkey}.conv3.conv.weight" in sd:
+            conv_block(f"{jpath}/conv3", f"{tkey}.conv3")
+            put_norm(f"{jpath}/norm3", f"{tkey}.norm3")
+
+    def trans_block(jpath, tkey):
+        """TransformerBlock family → _SkeletonBlock params."""
+        if f"{tkey}.pos_embed" in sd:
+            _set(params, f"{jpath}/pos_embed", sd[f"{tkey}.pos_embed"])
+        _set(params, f"{jpath}/gamma", sd[f"{tkey}.gamma"])
+        put_norm(f"{jpath}/norm", f"{tkey}.norm")
+        unet_res_block(f"{jpath}/conv51", f"{tkey}.conv51")
+        # conv8 = Sequential(Dropout, Conv3d) → index 1
+        put(f"{jpath}/conv8/weight", f"{tkey}.conv8.1.weight", "conv")
+        put(f"{jpath}/conv8/bias", f"{tkey}.conv8.1.bias", "none")
+        # EPA blocks
+        if f"{tkey}.epa_block.qkvv.weight" in sd:
+            put(f"{jpath}/epa_block/qkvv/weight",
+                f"{tkey}.epa_block.qkvv.weight", "linear")
+            put(f"{jpath}/epa_block/E/weight",
+                f"{tkey}.epa_block.E.weight", "linear")
+            put(f"{jpath}/epa_block/E/bias",
+                f"{tkey}.epa_block.E.bias", "none")
+            _set(params, f"{jpath}/epa_block/temperature",
+                 sd[f"{tkey}.epa_block.temperature"])
+            _set(params, f"{jpath}/epa_block/temperature2",
+                 sd[f"{tkey}.epa_block.temperature2"])
+            put(f"{jpath}/epa_block/out_proj/weight",
+                f"{tkey}.epa_block.out_proj.weight", "linear")
+            put(f"{jpath}/epa_block/out_proj/bias",
+                f"{tkey}.epa_block.out_proj.bias", "none")
+            put(f"{jpath}/epa_block/out_proj2/weight",
+                f"{tkey}.epa_block.out_proj2.weight", "linear")
+            put(f"{jpath}/epa_block/out_proj2/bias",
+                f"{tkey}.epa_block.out_proj2.bias", "none")
+        # Gated LKA variants (epa_block = LKA_Attention3d*): proj_1/proj_2,
+        # spatial_gating_unit with conv0/conv_spatial/(deform_conv)/conv1
+        if f"{tkey}.epa_block.proj_1.weight" in sd:
+            for proj in ("proj_1", "proj_2"):
+                put(f"{jpath}/epa_block/{proj}/weight",
+                    f"{tkey}.epa_block.{proj}.weight", "conv")
+                put(f"{jpath}/epa_block/{proj}/bias",
+                    f"{tkey}.epa_block.{proj}.bias", "none")
+            g = f"{tkey}.epa_block.spatial_gating_unit"
+            jg = f"{jpath}/epa_block/spatial_gating_unit"
+            for c in ("conv0", "conv_spatial", "conv1", "conv"):
+                put(f"{jg}/{c}/weight", f"{g}.{c}.weight", "conv")
+                put(f"{jg}/{c}/bias", f"{g}.{c}.bias", "none")
+            if f"{g}.deform_conv.weight" in sd:
+                put(f"{jg}/deform_conv/weight", f"{g}.deform_conv.weight",
+                    "conv")
+                put(f"{jg}/deform_conv/bias", f"{g}.deform_conv.bias",
+                    "none")
+                put(f"{jg}/deform_conv/conv_offset/weight",
+                    f"{g}.deform_conv.conv_offset.weight", "conv")
+                put(f"{jg}/deform_conv/conv_offset/bias",
+                    f"{g}.deform_conv.conv_offset.bias", "none")
+
+    # Encoder
+    enc_t = "d_lka_former_encoder"
+    _set(params, "encoder/stem_conv/weight", convert_tensor(
+        "", sd[f"{enc_t}.downsample_layers.0.0.conv.weight"], "conv"))
+    put_norm("encoder/stem_norm", f"{enc_t}.downsample_layers.0.1")
+    for i in range(1, 4):
+        put(f"encoder/down{i}_conv/weight",
+            f"{enc_t}.downsample_layers.{i}.0.conv.weight", "conv")
+        put_norm(f"encoder/down{i}_norm", f"{enc_t}.downsample_layers.{i}.1")
+    for i in range(4):
+        for j in range(depths[i]):
+            trans_block(f"encoder/stage{i}_block{j}",
+                        f"{enc_t}.stages.{i}.{j}")
+
+    # encoder1 (full-res conv branch)
+    unet_res_block("encoder1", "encoder1")
+
+    # Decoders
+    for dec, n_blocks in (("decoder5", 3), ("decoder4", 3), ("decoder3", 3)):
+        put(f"{dec}/transp_conv/weight", f"{dec}.transp_conv.conv.weight",
+            "conv_transpose")
+        for j in range(n_blocks):
+            trans_block(f"{dec}/decoder_block{j}",
+                        f"{dec}.decoder_block.0.{j}")
+    put("decoder2/transp_conv/weight", "decoder2.transp_conv.conv.weight",
+        "conv_transpose")
+    unet_res_block("decoder2/decoder_block", "decoder2.decoder_block.0")
+
+    # Output heads
+    for out in ("out1", "out2", "out3"):
+        conv_block(f"{out}/conv", f"{out}.conv")
+
+    return {"params": params, "batch_stats": stats}
+
+
+# ---------------------------------------------------------------------------
+# 2D MaxViT D-LKA (converter for the decoder + backbone)
+# ---------------------------------------------------------------------------
+
+def _convert_deform_conv2d(params, jpath, sd, tkey):
+    put = lambda p, k, kind: (_set(params, p, convert_tensor(k, sd[k], kind))
+                              if k in sd else None)
+    put(f"{jpath}/offset_net/weight", f"{tkey}.offset_net.weight", "conv")
+    put(f"{jpath}/offset_net/bias", f"{tkey}.offset_net.bias", "none")
+    if f"{tkey}.deform_conv.weight" in sd:
+        _set(params, f"{jpath}/deform_conv_weight",
+             convert_tensor("", sd[f"{tkey}.deform_conv.weight"], "conv"))
+
+
+def convert_maxvit_dlka(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Convert a 2D MaxViT_deformableLKAFormer state_dict (.pth) to
+    models.MaxViTDeformableLKAFormer variables."""
+    sd = _strip_prefix(sd)
+    params: dict = {}
+    stats: dict = {}
+
+    def put(path, key, kind):
+        if key not in sd:
+            return False
+        _set(params, path, convert_tensor(key, sd[key], kind))
+        return True
+
+    def put_norm(path, tkey, stats_too=True):
+        if f"{tkey}.weight" in sd:
+            _set(params, f"{path}/scale", sd[f"{tkey}.weight"])
+            _set(params, f"{path}/bias", sd[f"{tkey}.bias"])
+        if stats_too and f"{tkey}.running_mean" in sd:
+            _set(stats, f"{path}/mean", sd[f"{tkey}.running_mean"])
+            _set(stats, f"{path}/var", sd[f"{tkey}.running_var"])
+
+    def lka_block(jpath, tkey):
+        """deformableLKABlock → nn.lka2d.deformableLKABlock."""
+        put_norm(f"{jpath}/norm1", f"{tkey}.norm1", False)
+        put_norm(f"{jpath}/norm2", f"{tkey}.norm2", False)
+        _set(params, f"{jpath}/layer_scale_1", sd[f"{tkey}.layer_scale_1"])
+        _set(params, f"{jpath}/layer_scale_2", sd[f"{tkey}.layer_scale_2"])
+        a, ja = f"{tkey}.attn", f"{jpath}/attn"
+        for proj in ("proj_1", "proj_2"):
+            put(f"{ja}/{proj}/weight", f"{a}.{proj}.weight", "conv")
+            put(f"{ja}/{proj}/bias", f"{a}.{proj}.bias", "none")
+        g, jg = f"{a}.spatial_gating_unit", f"{ja}/spatial_gating_unit"
+        for c in ("conv0", "conv_spatial"):
+            _convert_deform_conv2d(params, f"{jg}/{c}", sd, f"{g}.{c}")
+        put(f"{jg}/conv1/weight", f"{g}.conv1.weight", "conv")
+        put(f"{jg}/conv1/bias", f"{g}.conv1.bias", "none")
+        m, jm = f"{tkey}.mlp", f"{jpath}/mlp"
+        put(f"{jm}/fc1/weight", f"{m}.fc1.weight", "conv")
+        put(f"{jm}/fc1/bias", f"{m}.fc1.bias", "none")
+        put(f"{jm}/fc2/weight", f"{m}.fc2.weight", "conv")
+        put(f"{jm}/fc2/bias", f"{m}.fc2.bias", "none")
+        put(f"{jm}/dwconv/dwconv/weight", f"{m}.dwconv.dwconv.weight",
+            "conv")
+        put(f"{jm}/dwconv/dwconv/bias", f"{m}.dwconv.dwconv.bias", "none")
+
+    # Decoders
+    for idx, name in ((3, "decoder_3"), (2, "decoder_2"), (1, "decoder_1"),
+                      (0, "decoder_0")):
+        j = name
+        put(f"{j}/x1_linear/weight", f"{name}.x1_linear.weight", "linear")
+        put(f"{j}/x1_linear/bias", f"{name}.x1_linear.bias", "none")
+        put(f"{j}/layer_up/expand/weight", f"{name}.layer_up.expand.weight",
+            "linear")
+        put_norm(f"{j}/layer_up/norm", f"{name}.layer_up.norm", False)
+        if f"{name}.layer_lka_1.norm1.weight" in sd and idx != 3:
+            lka_block(f"{j}/layer_lka_1", f"{name}.layer_lka_1")
+            lka_block(f"{j}/layer_lka_2", f"{name}.layer_lka_2")
+        put(f"{j}/last_layer/weight", f"{name}.last_layer.weight", "conv")
+        put(f"{j}/last_layer/bias", f"{name}.last_layer.bias", "none")
+
+    # Backbone (timm maxxvit): delegated key map
+    _convert_maxvit_backbone(params, stats, sd, prefix="backbone.backbone",
+                             jprefix="backbone")
+    return {"params": params, "batch_stats": stats}
+
+
+def _convert_maxvit_backbone(params, stats, sd, prefix, jprefix,
+                             depths=(2, 2, 5, 2)):
+    def put(path, key, kind):
+        if key not in sd:
+            return False
+        _set(params, path, convert_tensor(key, sd[key], kind))
+        return True
+
+    def put_bn(jpath, tkey):
+        if f"{tkey}.weight" in sd:
+            _set(params, f"{jpath}/bn/scale", sd[f"{tkey}.weight"])
+            _set(params, f"{jpath}/bn/bias", sd[f"{tkey}.bias"])
+        if f"{tkey}.running_mean" in sd:
+            _set(stats, f"{jpath}/bn/mean", sd[f"{tkey}.running_mean"])
+            _set(stats, f"{jpath}/bn/var", sd[f"{tkey}.running_var"])
+
+    def put_ln(jpath, tkey):
+        if f"{tkey}.weight" in sd:
+            _set(params, f"{jpath}/scale", sd[f"{tkey}.weight"])
+            _set(params, f"{jpath}/bias", sd[f"{tkey}.bias"])
+
+    # Stem
+    put(f"{jprefix}/stem/conv1/weight", f"{prefix}.stem.conv1.weight",
+        "conv")
+    put(f"{jprefix}/stem/conv1/bias", f"{prefix}.stem.conv1.bias", "none")
+    put_bn(f"{jprefix}/stem/norm1", f"{prefix}.stem.norm1")
+    put(f"{jprefix}/stem/conv2/weight", f"{prefix}.stem.conv2.weight",
+        "conv")
+    put(f"{jprefix}/stem/conv2/bias", f"{prefix}.stem.conv2.bias", "none")
+
+    for s, depth in enumerate(depths):
+        for b in range(depth):
+            t = f"{prefix}.stages.{s}.blocks.{b}"
+            j = f"{jprefix}/stage{s}_block{b}"
+            # MbConv
+            c = f"{t}.conv"
+            put_bn(f"{j}/conv/pre_norm", f"{c}.pre_norm")
+            if f"{c}.shortcut.expand.weight" in sd:
+                put(f"{j}/conv/shortcut/expand/weight",
+                    f"{c}.shortcut.expand.weight", "conv")
+            put(f"{j}/conv/conv1_1x1/weight", f"{c}.conv1_1x1.weight",
+                "conv")
+            put_bn(f"{j}/conv/norm1", f"{c}.norm1")
+            put(f"{j}/conv/conv2_kxk/weight", f"{c}.conv2_kxk.weight",
+                "conv")
+            put_bn(f"{j}/conv/norm2", f"{c}.norm2")
+            put(f"{j}/conv/se/fc1/weight", f"{c}.se.fc1.weight", "conv")
+            put(f"{j}/conv/se/fc1/bias", f"{c}.se.fc1.bias", "none")
+            put(f"{j}/conv/se/fc2/weight", f"{c}.se.fc2.weight", "conv")
+            put(f"{j}/conv/se/fc2/bias", f"{c}.se.fc2.bias", "none")
+            put(f"{j}/conv/conv3_1x1/weight", f"{c}.conv3_1x1.weight",
+                "conv")
+            # Partition attentions
+            for part in ("attn_block", "attn_grid"):
+                a = f"{t}.{part}"
+                ja = f"{j}/{part}"
+                put_ln(f"{ja}/norm1", f"{a}.norm1")
+                put_ln(f"{ja}/norm2", f"{a}.norm2")
+                if f"{a}.ls1.gamma" in sd:
+                    _set(params, f"{ja}/ls1", sd[f"{a}.ls1.gamma"])
+                    _set(params, f"{ja}/ls2", sd[f"{a}.ls2.gamma"])
+                put(f"{ja}/attn/qkv/weight", f"{a}.attn.qkv.weight",
+                    "linear")
+                put(f"{ja}/attn/qkv/bias", f"{a}.attn.qkv.bias", "none")
+                put(f"{ja}/attn/proj/weight", f"{a}.attn.proj.weight",
+                    "linear")
+                put(f"{ja}/attn/proj/bias", f"{a}.attn.proj.bias", "none")
+                put(f"{ja}/attn/rel_pos/mlp_fc1/weight",
+                    f"{a}.attn.rel_pos.mlp.fc1.weight", "linear")
+                put(f"{ja}/attn/rel_pos/mlp_fc1/bias",
+                    f"{a}.attn.rel_pos.mlp.fc1.bias", "none")
+                put(f"{ja}/attn/rel_pos/mlp_fc2/weight",
+                    f"{a}.attn.rel_pos.mlp.fc2.weight", "linear")
+                put(f"{ja}/attn/rel_pos/mlp_fc2/bias",
+                    f"{a}.attn.rel_pos.mlp.fc2.bias", "none")
+                put(f"{ja}/mlp_fc1/weight", f"{a}.mlp.fc1.weight", "linear")
+                put(f"{ja}/mlp_fc1/bias", f"{a}.mlp.fc1.bias", "none")
+                put(f"{ja}/mlp_fc2/weight", f"{a}.mlp.fc2.weight", "linear")
+                put(f"{ja}/mlp_fc2/bias", f"{a}.mlp.fc2.bias", "none")
+    put_ln(f"{jprefix}/final_norm", f"{prefix}.norm")
