@@ -10,9 +10,10 @@ TPU-first design
 ----------------
 The irregular bilinear gather is expressed as four aligned gathers over a
 flattened (H*W, C) feature tile plus an FMA — the channel dim stays the
-128-lane minor axis so XLA vectorises the gather rows. The per-tap weighted
-reduction is a batched matmul (im2col → MXU) for grouped convs and an
-elementwise FMA for the depthwise case used by D-LKA.
+128-lane minor axis so XLA vectorises the gather rows. The kernel-tap loop
+is streamed (unrolled in the XLA program) so peak memory is O(B·P·C), not
+O(B·P·K·C) — an im2col tensor with K on the minor axis would also pad
+catastrophically against the 128-lane layout.
 
 Everything is differentiable through `jnp` autodiff (gather/scatter VJPs).
 """
@@ -30,9 +31,9 @@ def _bilinear_gather(x_flat, H, W, ys, xs, compute_dtype):
 
     Args:
       x_flat: (B, H*W, C) features.
-      ys, xs: (B, P, K) fractional sample coordinates (row, col).
+      ys, xs: (B, P) fractional sample coordinates (row, col).
     Returns:
-      (B, P, K, C) sampled values.
+      (B, P, C) sampled values.
     """
     B, _, C = x_flat.shape
     y0 = jnp.floor(ys)
@@ -47,11 +48,8 @@ def _bilinear_gather(x_flat, H, W, ys, xs, compute_dtype):
         yi = y0i + oy
         xi = x0i + ox
         valid = ((yi >= 0) & (yi < H) & (xi >= 0) & (xi < W))
-        lin = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)  # (B, P, K)
-        Bp, P, K = lin.shape
-        g = jnp.take_along_axis(
-            x_flat, lin.reshape(B, P * K, 1), axis=1)  # (B, P*K, C)
-        g = g.reshape(B, P, K, C)
+        lin = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)  # (B, P)
+        g = jnp.take_along_axis(x_flat, lin[..., None], axis=1)
         wy = dy if oy else (1.0 - dy)
         wx = dx if ox else (1.0 - dx)
         w = (wy * wx) * valid[..., None].astype(compute_dtype)
@@ -60,45 +58,9 @@ def _bilinear_gather(x_flat, H, W, ys, xs, compute_dtype):
     return out
 
 
-def deform_sample2d(x, offset, kernel_size, *, stride=1, padding=0, dilation=1):
-    """Build the deformable im2col tensor: (B, Ho, Wo, K, C).
-
-    offset: (B, Ho, Wo, 2K), channel 2k = dy, 2k+1 = dx for tap k (row-major
-    over the kernel window) — torchvision layout.
-    """
-    B, H, W, C = x.shape
-    kh, kw = _tuple(kernel_size, 2)
-    sh, sw = _tuple(stride, 2)
-    ph, pw = _tuple(padding, 2)
-    dh, dw = _tuple(dilation, 2)
-    K = kh * kw
-    Ho = (H + 2 * ph - dh * (kh - 1) - 1) // sh + 1
-    Wo = (W + 2 * pw - dw * (kw - 1) - 1) // sw + 1
-    assert offset.shape == (B, Ho, Wo, 2 * K), (offset.shape, (B, Ho, Wo, 2 * K))
-
-    compute_dtype = x.dtype
-    # Base sampling grid per output position and tap.
-    oy = jnp.arange(Ho, dtype=jnp.float32) * sh - ph          # (Ho,)
-    ox = jnp.arange(Wo, dtype=jnp.float32) * sw - pw          # (Wo,)
-    ky = jnp.arange(kh, dtype=jnp.float32) * dh               # (kh,)
-    kx = jnp.arange(kw, dtype=jnp.float32) * dw               # (kw,)
-    base_y = (oy[:, None, None, None] + ky[None, None, :, None])  # (Ho,1,kh,1)
-    base_x = (ox[None, :, None, None] + kx[None, None, None, :])  # (1,Wo,1,kw)
-    base_y = jnp.broadcast_to(base_y, (Ho, Wo, kh, kw)).reshape(1, Ho * Wo, K)
-    base_x = jnp.broadcast_to(base_x, (Ho, Wo, kh, kw)).reshape(1, Ho * Wo, K)
-
-    off = offset.reshape(B, Ho * Wo, K, 2).astype(jnp.float32)
-    ys = base_y + off[..., 0]
-    xs = base_x + off[..., 1]
-
-    x_flat = x.reshape(B, H * W, C)
-    samp = _bilinear_gather(x_flat, H, W, ys, xs, compute_dtype)
-    return samp.reshape(B, Ho, Wo, K, C)
-
-
 def deform_conv2d(x, offset, w, bias=None, *, stride=1, padding=0, dilation=1,
                   groups: int = 1):
-    """Deformable 2D convolution.
+    """Deformable 2D convolution, tap-streaming.
 
     Args:
       x: (B, H, W, Cin).
@@ -110,24 +72,75 @@ def deform_conv2d(x, offset, w, bias=None, *, stride=1, padding=0, dilation=1,
     """
     kh, kw, cin_g, cout = w.shape
     B, H, W, C = x.shape
+    sh, sw = _tuple(stride, 2)
+    ph, pw = _tuple(padding, 2)
+    dh, dw = _tuple(dilation, 2)
     K = kh * kw
-    samp = deform_sample2d(x, offset, (kh, kw), stride=stride,
-                           padding=padding, dilation=dilation)
-    Bo, Ho, Wo, _, _ = samp.shape
+    Ho = (H + 2 * ph - dh * (kh - 1) - 1) // sh + 1
+    Wo = (W + 2 * pw - dw * (kw - 1) - 1) // sw + 1
+    assert offset.shape == (B, Ho, Wo, 2 * K), (offset.shape,
+                                                (B, Ho, Wo, 2 * K))
 
-    if groups == C and cin_g == 1 and cout == C:
-        # Depthwise: per-channel FMA over taps (VPU-friendly).
-        wk = w.reshape(K, C).astype(samp.dtype)
-        out = jnp.einsum("bhwkc,kc->bhwc", samp, wk)
-    else:
-        # Grouped im2col → MXU matmul. Output channel g*opg+o uses input
-        # channel slice of group g.
-        cpg = C // groups
-        opg = cout // groups
-        samp_g = samp.reshape(B, Ho * Wo, K, groups, cpg)
-        w_g = w.reshape(K, cpg, groups, opg).astype(samp.dtype)
-        out = jnp.einsum("bpkgc,kcgo->bpgo", samp_g, w_g)
-        out = out.reshape(B, Ho, Wo, cout)
+    compute_dtype = x.dtype
+    P = Ho * Wo
+    oy = jnp.arange(Ho, dtype=jnp.float32) * sh - ph
+    ox = jnp.arange(Wo, dtype=jnp.float32) * sw - pw
+    base_y = jnp.broadcast_to(oy[:, None], (Ho, Wo)).reshape(1, P)
+    base_x = jnp.broadcast_to(ox[None, :], (Ho, Wo)).reshape(1, P)
+    off = offset.reshape(B, P, K, 2).astype(jnp.float32)
+
+    x_flat = x.reshape(B, H * W, C)
+    depthwise = groups == C and cin_g == 1 and cout == C
+    cpg = C // groups
+    opg = cout // groups
+
+    out = None
+    for i in range(kh):
+        for j in range(kw):
+            k = i * kw + j
+            ys = base_y + i * dh + off[:, :, k, 0]
+            xs = base_x + j * dw + off[:, :, k, 1]
+            samp = _bilinear_gather(x_flat, H, W, ys, xs, compute_dtype)
+            if depthwise:
+                contrib = samp * w[i, j, 0].astype(compute_dtype)
+            else:
+                # w[i, j]: (cpg, cout) with cout = groups*opg
+                wg = w[i, j].reshape(cpg, groups, opg).transpose(1, 0, 2)
+                sg = samp.reshape(B, P, groups, cpg)
+                contrib = jnp.einsum(
+                    "bpgc,gco->bpgo", sg,
+                    wg.astype(compute_dtype)).reshape(B, P, cout)
+            out = contrib if out is None else out + contrib
+    out = out.reshape(B, Ho, Wo, cout)
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out
+
+
+def deform_sample2d(x, offset, kernel_size, *, stride=1, padding=0,
+                    dilation=1):
+    """Deformable im2col (B, Ho, Wo, K, C) — reference/debug path only."""
+    B, H, W, C = x.shape
+    kh, kw = _tuple(kernel_size, 2)
+    sh, sw = _tuple(stride, 2)
+    ph, pw = _tuple(padding, 2)
+    dh, dw = _tuple(dilation, 2)
+    K = kh * kw
+    Ho = (H + 2 * ph - dh * (kh - 1) - 1) // sh + 1
+    Wo = (W + 2 * pw - dw * (kw - 1) - 1) // sw + 1
+    P = Ho * Wo
+    oy = jnp.arange(Ho, dtype=jnp.float32) * sh - ph
+    ox = jnp.arange(Wo, dtype=jnp.float32) * sw - pw
+    base_y = jnp.broadcast_to(oy[:, None], (Ho, Wo)).reshape(1, P)
+    base_x = jnp.broadcast_to(ox[None, :], (Ho, Wo)).reshape(1, P)
+    off = offset.reshape(B, P, K, 2).astype(jnp.float32)
+    x_flat = x.reshape(B, H * W, C)
+    cols = []
+    for i in range(kh):
+        for j in range(kw):
+            k = i * kw + j
+            ys = base_y + i * dh + off[:, :, k, 0]
+            xs = base_x + j * dw + off[:, :, k, 1]
+            cols.append(_bilinear_gather(x_flat, H, W, ys, xs, x.dtype))
+    samp = jnp.stack(cols, axis=2)
+    return samp.reshape(B, Ho, Wo, K, C)

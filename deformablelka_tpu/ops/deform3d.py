@@ -29,7 +29,10 @@ from deformablelka_tpu.ops.convs import _tuple
 def _trilinear_gather(x_flat, D, H, W, zs, ys, xs, compute_dtype):
     """Sample (B, D*H*W, C) at fractional (z, y, x); zero outside.
 
-    zs/ys/xs: (B, P, K). Returns (B, P, K, C).
+    zs/ys/xs: (B, P). Returns (B, P, C). One tap at a time — the caller
+    loops over kernel taps so no (B, P, K, C) im2col tensor is ever
+    materialised (HBM-friendly; the K axis would also pad badly on the
+    128-lane minor dimension).
     """
     B, _, C = x_flat.shape
     z0 = jnp.floor(zs)
@@ -53,9 +56,7 @@ def _trilinear_gather(x_flat, D, H, W, zs, ys, xs, compute_dtype):
                          & (xi >= 0) & (xi < W))
                 lin = ((jnp.clip(zi, 0, D - 1) * H + jnp.clip(yi, 0, H - 1)) * W
                        + jnp.clip(xi, 0, W - 1))
-                Bp, P, K = lin.shape
-                g = jnp.take_along_axis(
-                    x_flat, lin.reshape(B, P * K, 1), axis=1).reshape(B, P, K, C)
+                g = jnp.take_along_axis(x_flat, lin[..., None], axis=1)
                 wz = dz if oz else (1.0 - dz)
                 wy = dy if oy else (1.0 - dy)
                 wx = dx if ox else (1.0 - dx)
@@ -65,14 +66,24 @@ def _trilinear_gather(x_flat, D, H, W, zs, ys, xs, compute_dtype):
     return out
 
 
-def deform_sample3d(x, offset, kernel_size, *, stride=1, padding=0, dilation=1):
-    """Deformable im2col: (B, Do, Ho, Wo, K, C).
+def deform_conv3d(x, offset, w, bias=None, *, stride=1, padding=0, dilation=1,
+                  groups: int = 1):
+    """Deformable 3D convolution (D3D semantics), tap-streaming.
 
-    offset: (B, Do, Ho, Wo, 3K) with channels (Δd, Δh, Δw) per tap,
-    taps row-major over (kd, kh, kw) — D3D layout.
+    Args:
+      x: (B, D, H, W, Cin).
+      offset: (B, Do, Ho, Wo, 3*kd*kh*kw) — (Δd, Δh, Δw) per tap,
+        taps row-major over (kd, kh, kw).
+      w: (kd, kh, kw, Cin // groups, Cout).
+    Returns:
+      (B, Do, Ho, Wo, Cout).
+
+    The kernel-tap loop is unrolled in the XLA program; each tap performs
+    a trilinear gather (B, P, C) and a per-group contraction on the MXU,
+    accumulating into the output. Peak memory is O(B·P·C), not O(B·P·K·C).
     """
+    kd, kh, kw, cin_g, cout = w.shape
     B, D, H, W, C = x.shape
-    kd, kh, kw = _tuple(kernel_size, 3)
     sd, sh, sw = _tuple(stride, 3)
     pd, ph, pw = _tuple(padding, 3)
     dd, dh, dw = _tuple(dilation, 3)
@@ -87,58 +98,74 @@ def deform_sample3d(x, offset, kernel_size, *, stride=1, padding=0, dilation=1):
     od = jnp.arange(Do, dtype=jnp.float32) * sd - pd
     oh = jnp.arange(Ho, dtype=jnp.float32) * sh - ph
     ow = jnp.arange(Wo, dtype=jnp.float32) * sw - pw
-    kdv = jnp.arange(kd, dtype=jnp.float32) * dd
-    khv = jnp.arange(kh, dtype=jnp.float32) * dh
-    kwv = jnp.arange(kw, dtype=jnp.float32) * dw
-    base_z = (od[:, None, None] + jnp.zeros((1, Ho, Wo)))[..., None, None, None] + \
-        kdv[None, None, None, :, None, None]
-    base_y = (oh[None, :, None] + jnp.zeros((Do, 1, Wo)))[..., None, None, None] + \
-        khv[None, None, None, None, :, None]
-    base_x = (ow[None, None, :] + jnp.zeros((Do, Ho, 1)))[..., None, None, None] + \
-        kwv[None, None, None, None, None, :]
-    shape6 = (Do, Ho, Wo, kd, kh, kw)
-    base_z = jnp.broadcast_to(base_z, shape6).reshape(1, P, K)
-    base_y = jnp.broadcast_to(base_y, shape6).reshape(1, P, K)
-    base_x = jnp.broadcast_to(base_x, shape6).reshape(1, P, K)
-
+    base_z = jnp.broadcast_to(od[:, None, None], (Do, Ho, Wo)).reshape(1, P)
+    base_y = jnp.broadcast_to(oh[None, :, None], (Do, Ho, Wo)).reshape(1, P)
+    base_x = jnp.broadcast_to(ow[None, None, :], (Do, Ho, Wo)).reshape(1, P)
     off = offset.reshape(B, P, K, 3).astype(jnp.float32)
-    zs = base_z + off[..., 0]
-    ys = base_y + off[..., 1]
-    xs = base_x + off[..., 2]
 
     x_flat = x.reshape(B, D * H * W, C)
-    samp = _trilinear_gather(x_flat, D, H, W, zs, ys, xs, compute_dtype)
-    return samp.reshape(B, Do, Ho, Wo, K, C)
+    depthwise = groups == C and cin_g == 1 and cout == C
+    cpg = C // groups
+    opg = cout // groups
 
-
-def deform_conv3d(x, offset, w, bias=None, *, stride=1, padding=0, dilation=1,
-                  groups: int = 1):
-    """Deformable 3D convolution (D3D semantics).
-
-    Args:
-      x: (B, D, H, W, Cin).
-      offset: (B, Do, Ho, Wo, 3*kd*kh*kw).
-      w: (kd, kh, kw, Cin // groups, Cout).
-    Returns:
-      (B, Do, Ho, Wo, Cout).
-    """
-    kd, kh, kw, cin_g, cout = w.shape
-    B, D, H, W, C = x.shape
-    K = kd * kh * kw
-    samp = deform_sample3d(x, offset, (kd, kh, kw), stride=stride,
-                           padding=padding, dilation=dilation)
-    _, Do, Ho, Wo, _, _ = samp.shape
-
-    if groups == C and cin_g == 1 and cout == C:
-        wk = w.reshape(K, C).astype(samp.dtype)
-        out = jnp.einsum("bdhwkc,kc->bdhwc", samp, wk)
-    else:
-        cpg = C // groups
-        opg = cout // groups
-        samp_g = samp.reshape(B, Do * Ho * Wo, K, groups, cpg)
-        w_g = w.reshape(K, cpg, groups, opg).astype(samp.dtype)
-        out = jnp.einsum("bpkgc,kcgo->bpgo", samp_g, w_g)
-        out = out.reshape(B, Do, Ho, Wo, cout)
+    out = None
+    for i in range(kd):
+        for j in range(kh):
+            for m in range(kw):
+                k = (i * kh + j) * kw + m
+                zs = base_z + i * dd + off[:, :, k, 0]
+                ys = base_y + j * dh + off[:, :, k, 1]
+                xs = base_x + m * dw + off[:, :, k, 2]
+                samp = _trilinear_gather(x_flat, D, H, W, zs, ys, xs,
+                                         compute_dtype)  # (B, P, C)
+                if depthwise:
+                    contrib = samp * w[i, j, m, 0].astype(compute_dtype)
+                else:
+                    # w[i, j, m]: (cpg, cout) with cout = groups*opg
+                    wg = w[i, j, m].reshape(cpg, groups,
+                                            opg).transpose(1, 0, 2)
+                    sg = samp.reshape(B, P, groups, cpg)
+                    contrib = jnp.einsum(
+                        "bpgc,gco->bpgo", sg,
+                        wg.astype(compute_dtype)).reshape(B, P, cout)
+                out = contrib if out is None else out + contrib
+    out = out.reshape(B, Do, Ho, Wo, cout)
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out
+
+
+def deform_sample3d(x, offset, kernel_size, *, stride=1, padding=0,
+                    dilation=1):
+    """Deformable im2col (B, Do, Ho, Wo, K, C) — reference/debug path; the
+    conv itself streams taps and never builds this tensor."""
+    B, D, H, W, C = x.shape
+    kd, kh, kw = _tuple(kernel_size, 3)
+    K = kd * kh * kw
+    sd, sh, sw = _tuple(stride, 3)
+    pd, ph, pw = _tuple(padding, 3)
+    dd, dh, dw = _tuple(dilation, 3)
+    Do = (D + 2 * pd - dd * (kd - 1) - 1) // sd + 1
+    Ho = (H + 2 * ph - dh * (kh - 1) - 1) // sh + 1
+    Wo = (W + 2 * pw - dw * (kw - 1) - 1) // sw + 1
+    P = Do * Ho * Wo
+    od = jnp.arange(Do, dtype=jnp.float32) * sd - pd
+    oh = jnp.arange(Ho, dtype=jnp.float32) * sh - ph
+    ow = jnp.arange(Wo, dtype=jnp.float32) * sw - pw
+    base_z = jnp.broadcast_to(od[:, None, None], (Do, Ho, Wo)).reshape(1, P)
+    base_y = jnp.broadcast_to(oh[None, :, None], (Do, Ho, Wo)).reshape(1, P)
+    base_x = jnp.broadcast_to(ow[None, None, :], (Do, Ho, Wo)).reshape(1, P)
+    off = offset.reshape(B, P, K, 3).astype(jnp.float32)
+    x_flat = x.reshape(B, D * H * W, C)
+    cols = []
+    for i in range(kd):
+        for j in range(kh):
+            for m in range(kw):
+                k = (i * kh + j) * kw + m
+                zs = base_z + i * dd + off[:, :, k, 0]
+                ys = base_y + j * dh + off[:, :, k, 1]
+                xs = base_x + m * dw + off[:, :, k, 2]
+                cols.append(_trilinear_gather(x_flat, D, H, W, zs, ys, xs,
+                                              x.dtype))
+    samp = jnp.stack(cols, axis=2)  # (B, P, K, C)
+    return samp.reshape(B, Do, Ho, Wo, K, C)
