@@ -1,0 +1,157 @@
+"""Dataset loading + patch sampling.
+
+Parity targets:
+  /root/reference/3D/d_lka_former/training/dataloading/dataset_loading.py
+    unpack_dataset (:58-71): npz["data"] → .npy memmap-able files.
+    load_dataset (:89): case dict {data_file, properties_file}.
+    DataLoader3D (:155-380): random-case batches; per-sample 33%
+    foreground-forced patches via precomputed `class_locations`
+    (oversample_foreground_percent, Trainer_synapse.py:130); pad with
+    zeros (data) / -1 (seg) when the patch exceeds the volume.
+  2D Synapse: /root/reference/2D/datasets/dataset_synapse.py:75-128
+    (train: per-slice npz with image/label keys; test: per-case h5
+    volumes; case lists in lists/lists_Synapse).
+  Pancreas: /root/reference/3D/pancreas_code/dataloaders/la_heart.py
+    (h5 per case with image/label, RandomCrop 96³).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+def unpack_dataset(folder: str | Path):
+    """npz → npy for memmap loading (dataset_loading.py:58-71)."""
+    folder = Path(folder)
+    for f in sorted(folder.glob("*.npz")):
+        npy = f.with_suffix(".npy")
+        if not npy.exists():
+            data = np.load(f)["data"]
+            np.save(npy, data)
+
+
+def load_dataset(folder: str | Path) -> Dict[str, dict]:
+    folder = Path(folder)
+    dataset = {}
+    for f in sorted(folder.glob("*.npz")):
+        case = f.stem
+        dataset[case] = {
+            "data_file": str(f),
+            "properties_file": str(f.with_suffix(".pkl")),
+        }
+    return dataset
+
+
+def load_case(entry: dict) -> tuple[np.ndarray, dict]:
+    npy = Path(entry["data_file"]).with_suffix(".npy")
+    if npy.exists():
+        data = np.load(npy, mmap_mode="r")
+    else:
+        data = np.load(entry["data_file"])["data"]
+    props = {}
+    pf = Path(entry["properties_file"])
+    if pf.exists():
+        with open(pf, "rb") as fh:
+            props = pickle.load(fh)
+    return data, props
+
+
+class DataLoader3D:
+    """Random patch sampler with foreground oversampling.
+
+    Yields {"data": (B, *patch, C), "seg": (B, *patch), "keys": [...]}
+    channels-last float32/int32 host arrays ready for device_put.
+    """
+
+    def __init__(self, dataset: Dict[str, dict], patch_size, batch_size,
+                 oversample_foreground_percent: float = 0.33,
+                 rng: Optional[np.random.RandomState] = None):
+        self.dataset = dataset
+        self.keys = sorted(dataset.keys())
+        self.patch_size = tuple(patch_size)
+        self.batch_size = batch_size
+        self.oversample = oversample_foreground_percent
+        self.rng = rng or np.random.RandomState(1234)
+
+    def _needs_fg(self, sample_idx: int) -> bool:
+        # last `round(B*oversample)` samples of the batch are fg-forced
+        # (dataset_loading.py:231-240 semantics)
+        return sample_idx >= round(self.batch_size * (1 - self.oversample))
+
+    def _sample_patch(self, data: np.ndarray, props: dict, force_fg: bool):
+        # data: (C+1, x, y, z) with seg as last channel (nnUNet layout)
+        shape = data.shape[1:]
+        ps = self.patch_size
+        lb = [-(p // 2) for p in ps]
+        ub = [s + p // 2 + p % 2 - p for s, p in zip(shape, ps)]
+        if force_fg and props.get("class_locations"):
+            classes = [c for c, locs in props["class_locations"].items()
+                       if len(locs)]
+            if classes:
+                c = classes[self.rng.randint(len(classes))]
+                locs = props["class_locations"][c]
+                voxel = locs[self.rng.randint(len(locs))]
+                center = [int(v) for v in voxel[-3:]]
+                start = [min(max(cv - p // 2, l), u)
+                         for cv, p, l, u in zip(center, ps, lb, ub)]
+            else:
+                start = [self.rng.randint(l, u + 1) for l, u in zip(lb, ub)]
+        else:
+            start = [self.rng.randint(l, u + 1) for l, u in zip(lb, ub)]
+
+        # crop with zero/-1 padding outside
+        C = data.shape[0]
+        patch_data = np.zeros((C - 1, *ps), np.float32)
+        patch_seg = -np.ones(ps, np.float32)
+        src = [slice(max(s, 0), min(s + p, dim))
+               for s, p, dim in zip(start, ps, shape)]
+        dst = [slice(sl.start - s, sl.start - s + (sl.stop - sl.start))
+               for sl, s in zip(src, start)]
+        patch_data[(slice(None),) + tuple(dst)] = \
+            data[(slice(0, C - 1),) + tuple(src)]
+        patch_seg[tuple(dst)] = data[(C - 1,) + tuple(src)]
+        return patch_data, patch_seg
+
+    def next(self):
+        idx = self.rng.choice(len(self.keys), self.batch_size, True)
+        datas, segs, keys = [], [], []
+        for i, ki in enumerate(idx):
+            key = self.keys[ki]
+            data, props = load_case(self.dataset[key])
+            d, s = self._sample_patch(np.asarray(data), props,
+                                      self._needs_fg(i))
+            datas.append(d)
+            segs.append(s)
+            keys.append(key)
+        data = np.stack(datas)                       # (B, C, *patch)
+        seg = np.stack(segs)                         # (B, *patch)
+        # channels-last for the device pipeline
+        data = np.moveaxis(data, 1, -1)
+        return {"data": data, "seg": seg, "keys": keys}
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        return self.next()
+
+
+def compute_class_locations(seg: np.ndarray, classes: Sequence[int],
+                            max_per_class: int = 10000,
+                            rng=None) -> dict:
+    """Precompute foreground voxel coordinates per class (the
+    `class_locations` properties entry written by the preprocessor)."""
+    rng = rng or np.random.RandomState(1234)
+    out = {}
+    for c in classes:
+        coords = np.argwhere(seg == c)
+        if len(coords) > max_per_class:
+            sel = rng.choice(len(coords), max_per_class, replace=False)
+            coords = coords[sel]
+        out[int(c)] = coords
+    return out
