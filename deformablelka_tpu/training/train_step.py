@@ -56,7 +56,8 @@ def make_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
         if batch_stats is not None:
             variables["batch_stats"] = batch_stats
             mutable = ["batch_stats"]
-        out = apply_fn(variables, batch["image"], mutable=mutable)
+        out = (apply_fn(variables, batch["image"], mutable=mutable)
+               if mutable else apply_fn(variables, batch["image"]))
         new_stats = None
         if mutable:
             out, updated = out

@@ -1,0 +1,140 @@
+"""2D trainer — Synapse slice training engine.
+
+Parity targets: 2D/trainer_MaxViT_deform_LKA.py:72-213 —
+  SGD momentum 0.9 wd 1e-4 (:114), loss 0.4·CE + 0.6·Dice (:137-139),
+  per-ITERATION poly LR `base_lr·(1-it/max_it)^0.9` (:145-147), batch 24,
+  max_epochs 400, eval every `eval_interval` epochs after half the run
+  (:179-191), checkpoints as bare params (.pth analog).
+Skin variant (train_skin_2017.py:102-152): BCE-with-logits, SGD +
+  ReduceLROnPlateau(0.5, patience 10), best-val-loss checkpointing.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from pathlib import Path
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from deformablelka_tpu.training.losses import dice_ce_2d_loss
+from deformablelka_tpu.training.train_step import (
+    TrainState, init_train_state)
+from deformablelka_tpu.training.checkpoint import CheckpointManager
+
+log = logging.getLogger("deformablelka_tpu.trainer2d")
+
+
+def bce_with_logits(logits, labels):
+    """Binary path for the skin pipeline; logits (B, H, W, 1),
+    labels (B, H, W) ∈ {0,1}."""
+    l = logits[..., 0].astype(jnp.float32)
+    y = labels.astype(jnp.float32)
+    return jnp.mean(jnp.maximum(l, 0) - l * y + jnp.log1p(jnp.exp(-jnp.abs(l))))
+
+
+class Trainer2D:
+    def __init__(self, model, output_folder, train_gen,
+                 base_lr=0.05, momentum=0.9, weight_decay=1e-4,
+                 max_epochs=400, iterations_per_epoch=None,
+                 loss_fn: Callable = dice_ce_2d_loss,
+                 eval_hook: Optional[Callable] = None,
+                 eval_interval: int = 20):
+        self.model = model
+        self.output_folder = Path(output_folder)
+        self.output_folder.mkdir(parents=True, exist_ok=True)
+        self.train_gen = train_gen
+        self.base_lr = base_lr
+        self.momentum = momentum
+        self.weight_decay = weight_decay
+        self.max_epochs = max_epochs
+        self.iterations_per_epoch = iterations_per_epoch
+        self.loss_fn = loss_fn
+        self.eval_hook = eval_hook
+        self.eval_interval = eval_interval
+        self.ckpt = CheckpointManager(self.output_folder / "ckpt")
+        self.epoch = 0
+        self.losses = []
+        self.state = None
+        self._step_fn = None
+
+    def _max_iterations(self):
+        return self.max_epochs * self.iterations_per_epoch
+
+    def initialize(self, example_batch):
+        max_it = self._max_iterations()
+
+        def schedule(count):
+            frac = jnp.minimum(count / max_it, 1.0)
+            return self.base_lr * (1.0 - frac) ** 0.9
+
+        self.tx = optax.chain(
+            optax.add_decayed_weights(self.weight_decay),
+            optax.sgd(schedule, momentum=self.momentum))
+        variables = self.model.init(jax.random.PRNGKey(1234), jnp.asarray(
+            example_batch["image"][:1]))
+        self.state = init_train_state(variables, self.tx)
+
+        loss_fn = self.loss_fn
+
+        def loss_of(params, batch_stats, batch):
+            variables = {"params": params}
+            mutable = []
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+                mutable = ["batch_stats"]
+            out = (self.model.apply(variables, batch["image"],
+                                    mutable=mutable)
+                   if mutable else
+                   self.model.apply(variables, batch["image"]))
+            new_stats = None
+            if mutable:
+                out, upd = out
+                new_stats = upd.get("batch_stats")
+            return loss_fn(out, batch["label"]), new_stats
+
+        def step(state, batch):
+            (loss, new_stats), grads = jax.value_and_grad(
+                loss_of, has_aux=True)(state.params, state.batch_stats,
+                                       batch)
+            updates, opt_state = self.tx.update(grads, state.opt_state,
+                                                state.params)
+            params = optax.apply_updates(state.params, updates)
+            if new_stats is None:
+                new_stats = state.batch_stats
+            return TrainState(params, new_stats, opt_state,
+                              state.step + 1), {"loss": loss}
+
+        self._step_fn = jax.jit(step)
+
+    def run_training(self):
+        if self.state is None:
+            first = self.train_gen.next()
+            if self.iterations_per_epoch is None:
+                self.iterations_per_epoch = getattr(
+                    self.train_gen, "num_batches", 100)
+            self.initialize(first)
+        while self.epoch < self.max_epochs:
+            t0 = time.time()
+            ep_losses = []
+            for _ in range(self.iterations_per_epoch):
+                batch = self.train_gen.next()
+                dev = {"image": jnp.asarray(batch["image"], jnp.float32),
+                       "label": jnp.asarray(batch["label"], jnp.int32)}
+                self.state, m = self._step_fn(self.state, dev)
+                ep_losses.append(float(m["loss"]))
+            self.losses.append(float(np.mean(ep_losses)))
+            self.epoch += 1
+            log.info("epoch %d loss %.4f (%.1fs)", self.epoch,
+                     self.losses[-1], time.time() - t0)
+            if (self.eval_hook is not None
+                    and self.epoch > self.max_epochs // 2
+                    and self.epoch % self.eval_interval == 0):
+                self.eval_hook(self)
+                self.ckpt.save(f"epoch_{self.epoch}", self.state,
+                               {"epoch": self.epoch})
+        self.ckpt.save("best_model", self.state, {"epoch": self.epoch})

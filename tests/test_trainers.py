@@ -1,0 +1,81 @@
+"""Trainer smoke tests: a few steps on tiny models, loss decreases,
+checkpoint roundtrip."""
+
+import numpy as np
+import flax.linen as nn
+import jax.numpy as jnp
+
+from deformablelka_tpu.training.trainer3d import Trainer3D
+from deformablelka_tpu.training.trainer2d import Trainer2D
+
+
+class Tiny3D(nn.Module):
+    ncls: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Conv(8, (3, 3, 3))(x)
+        h = nn.relu(h)
+        full = nn.Conv(self.ncls, (1, 1, 1))(h)
+        half = full[:, ::2, ::2, ::2]
+        quarter = full[:, ::4, ::4, ::4]
+        return [full, half, quarter]
+
+
+class _Gen3D:
+    def __init__(self, seed=0):
+        self.rng = np.random.RandomState(seed)
+
+    def next(self):
+        data = self.rng.randn(2, 8, 8, 8, 1).astype(np.float32)
+        seg = (data[..., 0] > 0).astype(np.int32) + \
+            (data[..., 0] > 1).astype(np.int32)
+        return {"data": data,
+                "target": [seg, seg[:, ::2, ::2, ::2],
+                           seg[:, ::4, ::4, ::4]]}
+
+
+def test_trainer3d_smoke(tmp_path):
+    tr = Trainer3D(Tiny3D(), tmp_path, _Gen3D(), val_gen=_Gen3D(1),
+                   max_num_epochs=2, num_batches_per_epoch=4,
+                   num_val_batches_per_epoch=2, save_every=1)
+    tr.run_training()
+    assert len(tr.all_tr_losses) == 2
+    assert tr.all_tr_losses[-1] < tr.all_tr_losses[0] + 0.5
+    assert tr.ckpt.exists("model_final_checkpoint")
+    # resume roundtrip
+    tr2 = Trainer3D(Tiny3D(), tmp_path, _Gen3D(), max_num_epochs=2,
+                    num_batches_per_epoch=4, num_val_batches_per_epoch=2)
+    tr2.initialize(_Gen3D().next())
+    tr2.load_checkpoint("model_final_checkpoint")
+    assert tr2.epoch == 2
+
+
+class Tiny2D(nn.Module):
+    ncls: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Conv(8, (3, 3))(x)
+        h = nn.relu(h)
+        return nn.Conv(self.ncls, (1, 1))(h)
+
+
+class _Gen2D:
+    num_batches = 4
+
+    def __init__(self):
+        self.rng = np.random.RandomState(0)
+
+    def next(self):
+        img = self.rng.randn(2, 16, 16, 1).astype(np.float32)
+        lab = (img[..., 0] > 0).astype(np.int32)
+        return {"image": img, "label": lab}
+
+
+def test_trainer2d_smoke(tmp_path):
+    tr = Trainer2D(Tiny2D(), tmp_path, _Gen2D(), max_epochs=2,
+                   iterations_per_epoch=4)
+    tr.run_training()
+    assert len(tr.losses) == 2
+    assert tr.ckpt.exists("best_model")
