@@ -1,0 +1,98 @@
+"""3D training CLI.
+
+Mirrors /root/reference/3D/d_lka_former/run/run_training.py:42-101:
+  run_training.py 3d_fullres d_lka_former_trainer_synapse TASK FOLD
+      [--continue_training] [-val] [--trans_block X] [--depths N]
+      [--skip_connections N]
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("network", help="e.g. 3d_fullres")
+    ap.add_argument("network_trainer",
+                    help="d_lka_former_trainer_synapse | _acdc")
+    ap.add_argument("task", help="task id or name")
+    ap.add_argument("fold", help="0-4 or 'all'")
+    ap.add_argument("-val", "--validation_only", action="store_true")
+    ap.add_argument("-c", "--continue_training", action="store_true")
+    ap.add_argument("--trans_block",
+                    default="TransformerBlock_3D_single_deform_LKA")
+    ap.add_argument("--depths", type=int, default=3)
+    ap.add_argument("--skip_connections", type=int, default=4)
+    ap.add_argument("--plans_file", default=None)
+    ap.add_argument("--preprocessed_folder", default=None)
+    ap.add_argument("--output_folder", default=None)
+    ap.add_argument("--max_epochs", type=int, default=1000)
+    args = ap.parse_args(argv)
+
+    from deformablelka_tpu.models.dlka_former import (
+        dlka_former_synapse, dlka_former_acdc)
+    from deformablelka_tpu.utils import paths
+    from deformablelka_tpu.data.dataset import (
+        load_dataset, unpack_dataset, DataLoader3D)
+    from deformablelka_tpu.data.augment import (
+        MoreDAAugmenter, ThreadedAugmenter, get_patch_size)
+    from deformablelka_tpu.training.trainer3d import Trainer3D
+
+    is_acdc = "acdc" in args.network_trainer
+    patch = (16, 160, 160) if is_acdc else (64, 128, 128)
+    batch_size = 2
+    num_classes = 4 if is_acdc else 14
+    make_model = dlka_former_acdc if is_acdc else dlka_former_synapse
+    model = make_model(num_classes=num_classes, do_ds=True,
+                       trans_block=args.trans_block, deterministic=True)
+
+    pre_folder = args.preprocessed_folder or paths.preprocessed_folder()
+    out_folder = Path(args.output_folder or
+                      paths.results_folder()) / args.network_trainer / \
+        f"fold_{args.fold}"
+
+    if pre_folder is None:
+        ap.error("set --preprocessed_folder or d_lka_former_preprocessed")
+    unpack_dataset(pre_folder)
+    dataset = load_dataset(pre_folder)
+    # hardcoded 18/12 Synapse split (d_lka_former_trainer_synapse.py:348-354)
+    keys = sorted(dataset.keys())
+    n_train = max(1, int(len(keys) * 0.6)) if len(keys) != 30 else 18
+    train_keys, val_keys = keys[:n_train], keys[n_train:]
+    tr_ds = {k: dataset[k] for k in train_keys}
+    vl_ds = {k: dataset[k] for k in (val_keys or train_keys)}
+
+    rot = (-np.pi / 6, np.pi / 6)
+    enlarged = get_patch_size(patch, rot, rot, rot, (0.7, 1.4))
+    ds_scales = [[1, 1, 1], [0.5, 0.5, 0.5], [0.25, 0.25, 0.25]]
+
+    def make_gen(ds, seed, train):
+        loader = DataLoader3D(ds, enlarged if train else patch, batch_size,
+                              rng=np.random.RandomState(seed))
+        aug = MoreDAAugmenter(
+            final_patch_size=patch,
+            deep_supervision_scales=ds_scales,
+            do_mirror=train, p_rot=0.2 if train else 0.0,
+            p_scale=0.2 if train else 0.0,
+            rng=np.random.RandomState(seed + 1))
+        return ThreadedAugmenter(loader, lambda b: aug(
+            {"data": b["data"], "seg": b["seg"]}), num_workers=4)
+
+    trainer = Trainer3D(model, out_folder,
+                        make_gen(tr_ds, 1234, True),
+                        make_gen(vl_ds, 5678, False),
+                        max_num_epochs=args.max_epochs)
+    if args.continue_training and trainer.ckpt.exists("model_latest"):
+        trainer.initialize(trainer.train_gen.next())
+        trainer.load_checkpoint("model_latest")
+    if not args.validation_only:
+        trainer.run_training()
+    return trainer
+
+
+if __name__ == "__main__":
+    main()
