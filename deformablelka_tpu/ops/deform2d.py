@@ -88,29 +88,35 @@ def deform_conv2d(x, offset, w, bias=None, *, stride=1, padding=0, dilation=1,
     base_y = jnp.broadcast_to(oy[:, None], (Ho, Wo)).reshape(1, P)
     base_x = jnp.broadcast_to(ox[None, :], (Ho, Wo)).reshape(1, P)
     off = offset.reshape(B, P, K, 2).astype(jnp.float32)
+    off_k = jnp.moveaxis(off, 2, 0)  # (K, B, P, 2)
+    taps = jnp.asarray([[i * dh, j * dw] for i in range(kh)
+                        for j in range(kw)], jnp.float32)
 
     x_flat = x.reshape(B, H * W, C)
     depthwise = groups == C and cin_g == 1 and cout == C
     cpg = C // groups
     opg = cout // groups
+    if depthwise:
+        w_k = w.reshape(K, C)
+    else:
+        w_k = w.reshape(K, cpg, groups, opg).transpose(0, 2, 1, 3)
 
-    out = None
-    for i in range(kh):
-        for j in range(kw):
-            k = i * kw + j
-            ys = base_y + i * dh + off[:, :, k, 0]
-            xs = base_x + j * dw + off[:, :, k, 1]
-            samp = _bilinear_gather(x_flat, H, W, ys, xs, compute_dtype)
-            if depthwise:
-                contrib = samp * w[i, j, 0].astype(compute_dtype)
-            else:
-                # w[i, j]: (cpg, cout) with cout = groups*opg
-                wg = w[i, j].reshape(cpg, groups, opg).transpose(1, 0, 2)
-                sg = samp.reshape(B, P, groups, cpg)
-                contrib = jnp.einsum(
-                    "bpgc,gco->bpgo", sg,
-                    wg.astype(compute_dtype)).reshape(B, P, cout)
-            out = contrib if out is None else out + contrib
+    def body(acc, xs_in):
+        off_t, tap, wt = xs_in
+        ys = base_y + tap[0] + off_t[..., 0]
+        xs = base_x + tap[1] + off_t[..., 1]
+        samp = _bilinear_gather(x_flat, H, W, ys, xs, compute_dtype)
+        if depthwise:
+            contrib = samp * wt.astype(compute_dtype)
+        else:
+            sg = samp.reshape(B, P, groups, cpg)
+            contrib = jnp.einsum("bpgc,gco->bpgo", sg,
+                                 wt.astype(compute_dtype)).reshape(
+                B, P, cout)
+        return acc + contrib, None
+
+    init = jnp.zeros((B, P, cout), compute_dtype)
+    out, _ = jax.lax.scan(body, init, (off_k, taps, w_k))
     out = out.reshape(B, Ho, Wo, cout)
     if bias is not None:
         out = out + bias.astype(out.dtype)

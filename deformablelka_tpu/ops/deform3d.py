@@ -102,33 +102,41 @@ def deform_conv3d(x, offset, w, bias=None, *, stride=1, padding=0, dilation=1,
     base_y = jnp.broadcast_to(oh[None, :, None], (Do, Ho, Wo)).reshape(1, P)
     base_x = jnp.broadcast_to(ow[None, None, :], (Do, Ho, Wo)).reshape(1, P)
     off = offset.reshape(B, P, K, 3).astype(jnp.float32)
+    off_k = jnp.moveaxis(off, 2, 0)  # (K, B, P, 3)
+
+    # per-tap static base offsets (K, 3)
+    taps = jnp.asarray(
+        [[i * dd, j * dh, m * dw] for i in range(kd) for j in range(kh)
+         for m in range(kw)], jnp.float32)
 
     x_flat = x.reshape(B, D * H * W, C)
     depthwise = groups == C and cin_g == 1 and cout == C
     cpg = C // groups
     opg = cout // groups
+    if depthwise:
+        w_k = w.reshape(K, C)  # (K, C)
+    else:
+        # (K, cpg, cout) → (K, groups, cpg, opg)
+        w_k = w.reshape(K, cpg, groups, opg).transpose(0, 2, 1, 3)
 
-    out = None
-    for i in range(kd):
-        for j in range(kh):
-            for m in range(kw):
-                k = (i * kh + j) * kw + m
-                zs = base_z + i * dd + off[:, :, k, 0]
-                ys = base_y + j * dh + off[:, :, k, 1]
-                xs = base_x + m * dw + off[:, :, k, 2]
-                samp = _trilinear_gather(x_flat, D, H, W, zs, ys, xs,
-                                         compute_dtype)  # (B, P, C)
-                if depthwise:
-                    contrib = samp * w[i, j, m, 0].astype(compute_dtype)
-                else:
-                    # w[i, j, m]: (cpg, cout) with cout = groups*opg
-                    wg = w[i, j, m].reshape(cpg, groups,
-                                            opg).transpose(1, 0, 2)
-                    sg = samp.reshape(B, P, groups, cpg)
-                    contrib = jnp.einsum(
-                        "bpgc,gco->bpgo", sg,
-                        wg.astype(compute_dtype)).reshape(B, P, cout)
-                out = contrib if out is None else out + contrib
+    def body(acc, xs):
+        off_t, tap, wt = xs
+        zs = base_z + tap[0] + off_t[..., 0]
+        ys = base_y + tap[1] + off_t[..., 1]
+        xs_ = base_x + tap[2] + off_t[..., 2]
+        samp = _trilinear_gather(x_flat, D, H, W, zs, ys, xs_,
+                                 compute_dtype)  # (B, P, C)
+        if depthwise:
+            contrib = samp * wt.astype(compute_dtype)
+        else:
+            sg = samp.reshape(B, P, groups, cpg)
+            contrib = jnp.einsum("bpgc,gco->bpgo", sg,
+                                 wt.astype(compute_dtype)).reshape(
+                B, P, cout)
+        return acc + contrib, None
+
+    init = jnp.zeros((B, P, cout), compute_dtype)
+    out, _ = jax.lax.scan(body, init, (off_k, taps, w_k))
     out = out.reshape(B, Do, Ho, Wo, cout)
     if bias is not None:
         out = out + bias.astype(out.dtype)
