@@ -75,6 +75,15 @@ def hd(pred, gt, voxel_spacing=None):
     return float(max(d1.max(), d2.max()))
 
 
+def asd(pred, gt, voxel_spacing=None):
+    """Directed average surface distance pred→gt (medpy asd — the metric
+    the pancreas tester reports, test_util.py:127)."""
+    d1 = surface_distances(pred, gt, voxel_spacing)
+    if d1 is None:
+        return float("nan")
+    return float(np.mean(d1))
+
+
 def assd(pred, gt, voxel_spacing=None):
     """Average symmetric surface distance (metrics.py:350-384)."""
     d1 = surface_distances(pred, gt, voxel_spacing)

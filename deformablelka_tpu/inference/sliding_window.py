@@ -53,6 +53,21 @@ def compute_steps(patch_size, image_size, step_size: float):
     return steps
 
 
+def compute_steps_stride(patch_size, image_size, stride_xy: int,
+                         stride_z: int):
+    """Pancreas-protocol step grid (test_util.py:75-85): per dim,
+    ceil((size-patch)/stride)+1 steps at min(stride*i, size-patch).
+    Duplicate clamped origins are kept — count blending normalises them
+    out exactly as the reference's repeated accumulation does."""
+    strides = (stride_xy, stride_xy, stride_z)
+    steps = []
+    for dim in range(3):
+        span = image_size[dim] - patch_size[dim]
+        n = int(np.ceil(span / strides[dim])) + 1 if span > 0 else 1
+        steps.append([min(strides[dim] * i, span) for i in range(n)])
+    return steps
+
+
 @functools.lru_cache(maxsize=8)
 def gaussian_importance_map(patch_size: Tuple[int, ...],
                             sigma_scale: float = 1.0 / 8) -> np.ndarray:
@@ -128,7 +143,8 @@ class SlidingWindowInference:
     def __init__(self, apply_fn: Callable, patch_size, num_classes: int,
                  step_size: float = 0.5, do_mirroring: bool = True,
                  mirror_axes=(0, 1, 2), use_gaussian: bool = True,
-                 tile_batch: int = 1):
+                 tile_batch: int = 1, grid_mode: str = "nnunet",
+                 stride_xy: int = 16, stride_z: int = 16):
         self.apply_fn = apply_fn
         self.patch_size = tuple(patch_size)
         self.num_classes = num_classes
@@ -137,6 +153,13 @@ class SlidingWindowInference:
         self.mirror_axes = tuple(mirror_axes)
         self.use_gaussian = use_gaussian
         self.tile_batch = tile_batch
+        # "nnunet": evenly-spaced overlap grid + Gaussian blending
+        # (neural_network.py:267-290); "stride": pancreas protocol —
+        # fixed stride, clamped at the border, count blending
+        # (test_util.py:75-111).
+        self.grid_mode = grid_mode
+        self.stride_xy = stride_xy
+        self.stride_z = stride_z
         self._jitted = {}
 
     def _build(self, padded_shape, n_tiles):
@@ -182,7 +205,12 @@ class SlidingWindowInference:
             self._jitted.clear()
         data, slicer = pad_to_min(volume, self.patch_size)
         padded_shape = data.shape[:3]
-        steps = compute_steps(self.patch_size, padded_shape, self.step_size)
+        if self.grid_mode == "stride":
+            steps = compute_steps_stride(self.patch_size, padded_shape,
+                                         self.stride_xy, self.stride_z)
+        else:
+            steps = compute_steps(self.patch_size, padded_shape,
+                                  self.step_size)
         origins = np.array([(a, b, c) for a in steps[0] for b in steps[1]
                             for c in steps[2]], np.int32)
         n_tiles = len(origins)

@@ -213,9 +213,11 @@ def dlka_former_acdc(num_classes: int = 4, do_ds: bool = True,
 
 def dlka_net_pancreas(num_classes: int = 2, do_ds: bool = False,
                       trans_block: str = "TransformerBlock_3D_single_deform_LKA",
-                      deterministic: bool = True) -> DLKAFormer:
-    """NIH Pancreas config (d_lka_net_synapse.py:28-29: 96³ inputs,
-    patch (2,2,2) → stages 48³/24³/12³/6³)."""
-    return DLKAFormer(out_channels=num_classes, img_size=(96, 96, 96),
+                      deterministic: bool = True,
+                      img_size=(96, 96, 96)) -> DLKAFormer:
+    """NIH Pancreas config (d_lka_net_synapse.py:28-29: 96³ inputs by
+    default, patch (2,2,2) → stages 48³/24³/12³/6³; img_size is a
+    parameter exactly as D_LKA_Net's)."""
+    return DLKAFormer(out_channels=num_classes, img_size=tuple(img_size),
                       patch_size=(2, 2, 2), do_ds=do_ds,
                       trans_block=trans_block, deterministic=deterministic)
