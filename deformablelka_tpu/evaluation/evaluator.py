@@ -75,6 +75,54 @@ def remap_synapse_labels(seg: np.ndarray) -> np.ndarray:
     return out
 
 
+ACDC_STRUCTURES = {"rv": 1, "myo": 2, "lv": 3}
+
+
+def evaluate_acdc_cases(pairs, out_file=None):
+    """inference_acdc.py:16-140 equivalent: per-case RV/Myo/LV dice + HD95.
+
+    Reference edge cases reproduced: dice = 1 when BOTH masks are empty
+    (inference_acdc.py:16-20); hd95 = 0 unless both masks are non-empty
+    (:47-52). Writes the `dice_pre.txt`-style report when out_file is
+    given; returns {structure: {dice: [...], hd95: [...]}} + means."""
+    from deformablelka_tpu.evaluation.metrics import hd95 as _hd95
+
+    per = {k: {"dice": [], "hd95": []} for k in ACDC_STRUCTURES}
+    lines = []
+    for i, (pred, gt) in enumerate(pairs):
+        lines.append("*" * 20)
+        lines.append(f"case_{i}")
+        for name, lab in ACDC_STRUCTURES.items():
+            p = pred == lab
+            g = gt == lab
+            if p.sum() + g.sum() == 0:
+                d = 1.0
+            else:
+                d = 2.0 * np.logical_and(p, g).sum() / (p.sum() + g.sum())
+            h = _hd95(p, g) if (p.sum() > 0 and g.sum() > 0) else 0.0
+            per[name]["dice"].append(float(d))
+            per[name]["hd95"].append(float(h))
+            lines.append(f"Dice_{name}: {d:.4f}")
+            lines.append(f"hd_{name}: {h:.4f}")
+    summary = {"per_structure": per}
+    summary["mean_dice"] = float(np.mean(
+        [np.mean(per[k]["dice"]) for k in ACDC_STRUCTURES]))
+    summary["mean_hd95"] = float(np.mean(
+        [np.mean(per[k]["hd95"]) for k in ACDC_STRUCTURES]))
+    lines.append("*" * 20)
+    lines.append("Mean_Dice")
+    for k in ACDC_STRUCTURES:
+        lines.append(f"Dice_{k}{np.mean(per[k]['dice'])}")
+    lines.append("Mean_HD")
+    for k in ACDC_STRUCTURES:
+        lines.append(f"HD_{k}{np.mean(per[k]['hd95'])}")
+    lines.append(f"DSC:{summary['mean_dice']}")
+    lines.append(f"HD:{summary['mean_hd95']}")
+    if out_file is not None:
+        Path(out_file).write_text("\n".join(lines) + "\n")
+    return summary
+
+
 def evaluate_synapse_cases(pairs, voxel_spacings=None, out_file=None):
     """inference_synapse.py:35-120 equivalent: remap to 8 organs, compute
     per-organ Dice + HD95, report per-case and mean."""

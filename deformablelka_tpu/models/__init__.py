@@ -7,3 +7,7 @@ from deformablelka_tpu.models.dlka_former import (
     dlka_former_acdc,
     dlka_net_pancreas,
 )
+from deformablelka_tpu.models.maxvit_dlka import (
+    MaxViTDeformableLKAFormer,
+    maxvit_lka_former,
+)

@@ -23,7 +23,7 @@ import flax.linen as nn
 from deformablelka_tpu.models.maxvit import MaxViT4Out
 from deformablelka_tpu.nn.layers import Conv2d, Linear
 from deformablelka_tpu.nn.norms import LayerNorm, BatchNorm
-from deformablelka_tpu.nn.lka2d import deformableLKABlock
+from deformablelka_tpu.nn.lka2d import LKABlock, deformableLKABlock
 
 
 class PatchExpand(nn.Module):
@@ -57,18 +57,22 @@ class DecoderLayer(nn.Module):
     is_last: bool = False
     drop_path: float = 0.0
     deterministic: bool = True
+    deformable: bool = True
 
     @nn.compact
     def __call__(self, x1, x2=None):
+        # deformable=False → the paper's "LKA Baseline"
+        # (2D/networks/MaxViT_LKA_Decoder.py: LKABlock decoder).
+        block = deformableLKABlock if self.deformable else LKABlock
         if x2 is not None:
             x = Linear(self.out_dim, name="x1_linear")(x1)
             x = x + x2
-            x = deformableLKABlock(drop_path=self.drop_path,
-                                   deterministic=self.deterministic,
-                                   name="layer_lka_1")(x)
-            x = deformableLKABlock(drop_path=self.drop_path,
-                                   deterministic=self.deterministic,
-                                   name="layer_lka_2")(x)
+            x = block(drop_path=self.drop_path,
+                      deterministic=self.deterministic,
+                      name="layer_lka_1")(x)
+            x = block(drop_path=self.drop_path,
+                      deterministic=self.deterministic,
+                      name="layer_lka_2")(x)
             if self.is_last:
                 x = FinalPatchExpand_X4(name="layer_up")(x)
                 x = Conv2d(self.n_class, 1, use_bias=True,
@@ -80,10 +84,15 @@ class DecoderLayer(nn.Module):
 
 
 class MaxViTDeformableLKAFormer(nn.Module):
-    """The 2D flagship. Input (B, H, W, 1|3) → logits (B, H, W, n_class)."""
+    """The 2D flagship. Input (B, H, W, 1|3) → logits (B, H, W, n_class).
+
+    deformable=False gives the paper's "LKA Baseline"
+    (MaxViTLKAFormer, 2D/networks/MaxViT_LKA_Decoder.py — plain LKABlock
+    decoder, 85.82M params vs 101.64M)."""
     num_classes: int = 9
     img_size: int = 224
     deterministic: bool = True
+    deformable: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -93,12 +102,26 @@ class MaxViTDeformableLKAFormer(nn.Module):
         e0, e1, e2, e3 = feats  # 96@/4, 192@/8, 384@/16, 768@/32
 
         det = self.deterministic
+        dfm = self.deformable
         t3 = DecoderLayer(out_dim=768, n_class=self.num_classes,
-                          deterministic=det, name="decoder_3")(e3)
+                          deterministic=det, deformable=dfm,
+                          name="decoder_3")(e3)
         t2 = DecoderLayer(out_dim=384, n_class=self.num_classes,
-                          deterministic=det, name="decoder_2")(t3, e2)
+                          deterministic=det, deformable=dfm,
+                          name="decoder_2")(t3, e2)
         t1 = DecoderLayer(out_dim=192, n_class=self.num_classes,
-                          deterministic=det, name="decoder_1")(t2, e1)
+                          deterministic=det, deformable=dfm,
+                          name="decoder_1")(t2, e1)
         t0 = DecoderLayer(out_dim=96, n_class=self.num_classes, is_last=True,
-                          deterministic=det, name="decoder_0")(t1, e0)
+                          deterministic=det, deformable=dfm,
+                          name="decoder_0")(t1, e0)
         return t0
+
+
+def maxvit_lka_former(num_classes: int = 9, img_size: int = 224,
+                      deterministic: bool = True) -> MaxViTDeformableLKAFormer:
+    """The non-deformable "LKA Baseline" (MaxViT_LKA_Decoder.py)."""
+    return MaxViTDeformableLKAFormer(num_classes=num_classes,
+                                     img_size=img_size,
+                                     deterministic=deterministic,
+                                     deformable=False)

@@ -138,3 +138,137 @@ class Trainer2D:
                 self.ckpt.save(f"epoch_{self.epoch}", self.state,
                                {"epoch": self.epoch})
         self.ckpt.save("best_model", self.state, {"epoch": self.epoch})
+
+
+class ReduceLROnPlateau:
+    """torch-semantics LR plateau scheduler (train_skin_2017.py:105:
+    mode 'min', factor 0.5, patience 10). Stateful multiplier consumed by
+    the optax schedule below — jit-safe because the multiplier enters the
+    step as data, not as a retrace."""
+
+    def __init__(self, factor: float = 0.5, patience: int = 10,
+                 threshold: float = 1e-4):
+        self.factor = factor
+        self.patience = patience
+        self.threshold = threshold
+        self.best = float("inf")
+        self.num_bad = 0
+        self.scale = 1.0
+
+    def step(self, metric: float) -> float:
+        if metric < self.best * (1.0 - self.threshold):
+            self.best = metric
+            self.num_bad = 0
+        else:
+            self.num_bad += 1
+            if self.num_bad > self.patience:
+                self.scale *= self.factor
+                self.num_bad = 0
+        return self.scale
+
+
+class TrainerSkin:
+    """Skin-lesion binary trainer (train_skin_2017.py:102-152):
+    BCE-with-logits, SGD momentum 0.9 wd 1e-4, ReduceLROnPlateau on the
+    val loss, best-val-loss checkpointing ({'model_weights', 'val_loss'}
+    analog)."""
+
+    def __init__(self, model, output_folder, base_lr: float = 1e-3,
+                 max_epochs: int = 100, seed: int = 1234):
+        self.model = model
+        self.output_folder = Path(output_folder)
+        self.output_folder.mkdir(parents=True, exist_ok=True)
+        self.base_lr = base_lr
+        self.max_epochs = max_epochs
+        self.seed = seed
+        self.ckpt = CheckpointManager(self.output_folder)
+        self.scheduler = ReduceLROnPlateau()
+        self.best_val_loss = float("inf")
+        self.state = None
+        self._step = None
+        self._eval_loss = None
+
+    def initialize(self, example_batch):
+        # LR enters as data (lr_scale argument) so plateau drops never
+        # retrace the jitted step.
+        self.tx = optax.chain(
+            optax.add_decayed_weights(1e-4),
+            optax.sgd(self.base_lr, momentum=0.9))
+        variables = self.model.init(
+            jax.random.PRNGKey(self.seed),
+            jnp.asarray(example_batch["image"][:1]))
+        self.state = init_train_state(variables, self.tx)
+        model, tx = self.model, self.tx
+
+        def fwd_loss(params, batch_stats, image, mask):
+            variables = {"params": params}
+            mutable = []
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+                mutable = ["batch_stats"]
+            out = (model.apply(variables, image, mutable=mutable)
+                   if mutable else model.apply(variables, image))
+            new_stats = None
+            if mutable:
+                out, upd = out
+                new_stats = upd.get("batch_stats")
+            return bce_with_logits(out, mask[..., 0]), new_stats
+
+        @jax.jit
+        def step(state, image, mask, lr_scale):
+            (loss, new_stats), grads = jax.value_and_grad(
+                fwd_loss, has_aux=True)(state.params, state.batch_stats,
+                                        image, mask)
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            # plateau scaling: scaling the final update by lr_scale is
+            # exactly SGD with lr = base_lr·lr_scale at this step
+            updates = jax.tree_util.tree_map(lambda u: u * lr_scale,
+                                             updates)
+            params = optax.apply_updates(state.params, updates)
+            if new_stats is None:
+                new_stats = state.batch_stats
+            return TrainState(params, new_stats, opt_state,
+                              state.step + 1), loss
+
+        @jax.jit
+        def eval_loss(state, image, mask):
+            loss, _ = fwd_loss(state.params, state.batch_stats, image, mask)
+            return loss
+
+        self._step = step
+        self._eval_loss = eval_loss
+
+    def run_training(self, train_loader, val_loader, log_every: int = 20):
+        lr_scale = 1.0
+        for ep in range(self.max_epochs):
+            ep_loss, n = 0.0, 0
+            for batch in train_loader.epoch():
+                if self.state is None:
+                    self.initialize(batch)
+                self.state, loss = self._step(
+                    self.state, jnp.asarray(batch["image"]),
+                    jnp.asarray(batch["mask"]),
+                    jnp.asarray(lr_scale, jnp.float32))
+                ep_loss += float(loss)
+                n += 1
+                if log_every and n % log_every == 0:
+                    log.info("epoch %d iter %d loss %.4f", ep + 1, n,
+                             ep_loss / n)
+            val_loss, vn = 0.0, 0
+            for batch in val_loader.epoch():
+                val_loss += float(self._eval_loss(
+                    self.state, jnp.asarray(batch["image"]),
+                    jnp.asarray(batch["mask"])))
+                vn += 1
+            mean_val = val_loss / max(vn, 1)
+            log.info("epoch %d train %.4f val %.4f", ep + 1,
+                     ep_loss / max(n, 1), mean_val)
+            if mean_val < self.best_val_loss:
+                self.best_val_loss = mean_val
+                self.ckpt.save("best_model",
+                               {"params": self.state.params,
+                                "batch_stats": self.state.batch_stats or {}},
+                               {"val_loss": mean_val, "epoch": ep + 1})
+            lr_scale = self.scheduler.step(mean_val)
+        return self.state

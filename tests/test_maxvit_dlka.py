@@ -30,3 +30,24 @@ def test_forward_shape_small():
     y = model.apply(variables, x)
     assert y.shape == (1, 64, 64, 9)
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_lka_baseline_smaller_and_runs():
+    """deformable=False = the paper's LKA Baseline (MaxViT_LKA_Decoder.py):
+    same decoder without offset nets / deform sampling → strictly fewer
+    params, same output shape."""
+    from deformablelka_tpu.models.maxvit_dlka import maxvit_lka_former
+    import numpy as np
+
+    base = maxvit_lka_former(num_classes=9, img_size=224)
+    x = jnp.zeros((1, 224, 224, 1), jnp.float32)
+    vb = base.init(jax.random.PRNGKey(0), x)
+    nb = sum(np.prod(p.shape) for p in
+             jax.tree_util.tree_leaves(vb["params"]))
+    deform = MaxViTDeformableLKAFormer(num_classes=9)
+    vd = deform.init(jax.random.PRNGKey(0), x)
+    nd = sum(np.prod(p.shape) for p in
+             jax.tree_util.tree_leaves(vd["params"]))
+    assert nb < nd
+    out = base.apply(vb, x)
+    assert out.shape == (1, 224, 224, 9)
