@@ -144,7 +144,8 @@ class SlidingWindowInference:
                  step_size: float = 0.5, do_mirroring: bool = True,
                  mirror_axes=(0, 1, 2), use_gaussian: bool = True,
                  tile_batch: int = 1, grid_mode: str = "nnunet",
-                 stride_xy: int = 16, stride_z: int = 16):
+                 stride_xy: int = 16, stride_z: int = 16, mesh=None,
+                 mesh_axis: str = "data"):
         self.apply_fn = apply_fn
         self.patch_size = tuple(patch_size)
         self.num_classes = num_classes
@@ -160,39 +161,74 @@ class SlidingWindowInference:
         self.grid_mode = grid_mode
         self.stride_xy = stride_xy
         self.stride_z = stride_z
+        # Multi-chip: tiles are embarrassingly parallel. With a mesh, the
+        # (padded) tile list is sharded over `mesh_axis`; every device
+        # scans its own tile subset into a local accumulator pair and the
+        # results are psum'd over ICI (the tile loop is the reference's
+        # neural_network.py:376-396 python loop, here one SPMD program).
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
         self._jitted = {}
 
     def _build(self, padded_shape, n_tiles):
         patch = self.patch_size
         ncls = self.num_classes
 
-        def run(params, data, origins, gauss):
-            # data: (*padded_shape, C); origins: (n_tiles, 3); gauss: patch
+        def accumulate(params, data, origins, weights, gauss):
+            """Scan a list of tiles into (num, den) accumulators.
+            weights: (n,) 1.0 for real tiles, 0.0 for padding (sharded
+            remainder tiles contribute nothing)."""
             num = jnp.zeros((*padded_shape, ncls), jnp.float32)
             den = jnp.zeros(padded_shape, jnp.float32)
             gaussian = gauss[..., None]
 
-            def body(carry, origin):
+            def body(carry, ow):
                 num, den = carry
-                o = origin
+                o, w = ow
                 tile = lax.dynamic_slice(
                     data, (o[0], o[1], o[2], 0),
                     (*patch, data.shape[-1]))[None]
                 prob = _mirror_tta_softmax(
                     self.apply_fn, params, tile, self.mirror_axes,
                     self.do_mirroring)[0]
-                prob = prob * gaussian
+                prob = prob * gaussian * w
                 cur = lax.dynamic_slice(num, (o[0], o[1], o[2], 0),
                                         (*patch, ncls))
                 num = lax.dynamic_update_slice(num, cur + prob,
                                                (o[0], o[1], o[2], 0))
                 curd = lax.dynamic_slice(den, (o[0], o[1], o[2]), patch)
-                den = lax.dynamic_update_slice(den, curd + gauss,
+                den = lax.dynamic_update_slice(den, curd + gauss * w,
                                                (o[0], o[1], o[2]))
                 return (num, den), None
 
-            (num, den), _ = lax.scan(body, (num, den), origins)
-            return num / den[..., None]
+            (num, den), _ = lax.scan(body, (num, den), (origins, weights))
+            return num, den
+
+        if self.mesh is None:
+            def run(params, data, origins, weights, gauss):
+                num, den = accumulate(params, data, origins, weights, gauss)
+                return num / den[..., None]
+
+            return jax.jit(run)
+
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh, axis = self.mesh, self.mesh_axis
+
+        def run(params, data, origins, weights, gauss):
+            def device_fn(params, data, origins, weights, gauss):
+                num, den = accumulate(params, data, origins, weights,
+                                      gauss)
+                num = lax.psum(num, axis)
+                den = lax.psum(den, axis)
+                return num / den[..., None]
+
+            return shard_map(
+                device_fn, mesh=mesh,
+                in_specs=(P(), P(), P(axis), P(axis), P()),
+                out_specs=P(),
+                check_rep=False)(params, data, origins, weights, gauss)
 
         return jax.jit(run)
 
@@ -214,15 +250,27 @@ class SlidingWindowInference:
         origins = np.array([(a, b, c) for a in steps[0] for b in steps[1]
                             for c in steps[2]], np.int32)
         n_tiles = len(origins)
+        weights = np.ones(n_tiles, np.float32)
+        if self.mesh is not None:
+            # pad tile list to a multiple of the mesh axis size; padded
+            # tiles get weight 0 (contribute nothing to num/den)
+            n_dev = self.mesh.shape[self.mesh_axis]
+            rem = (-n_tiles) % n_dev
+            if rem:
+                origins = np.concatenate(
+                    [origins, np.zeros((rem, 3), np.int32)], 0)
+                weights = np.concatenate(
+                    [weights, np.zeros(rem, np.float32)], 0)
         if self.use_gaussian and n_tiles > 1:
             gauss = gaussian_importance_map(self.patch_size)
         else:
             gauss = np.ones(self.patch_size, np.float32)
-        key = (padded_shape, n_tiles)
+        key = (padded_shape, len(origins))
         if key not in self._jitted:
-            self._jitted[key] = self._build(padded_shape, n_tiles)
+            self._jitted[key] = self._build(padded_shape, len(origins))
         probs = self._jitted[key](params, jnp.asarray(data),
-                                  jnp.asarray(origins), jnp.asarray(gauss))
+                                  jnp.asarray(origins),
+                                  jnp.asarray(weights), jnp.asarray(gauss))
         probs = np.asarray(probs)
         return probs[tuple(slicer)]
 

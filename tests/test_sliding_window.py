@@ -98,3 +98,41 @@ def test_mirror_tta_symmetric_model():
                                     do_mirroring=True)
     np.testing.assert_allclose(sw_no.predict({}, vol),
                                sw_yes.predict({}, vol), rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_sliding_window_matches_single_device():
+    """shard_map tile-parallel path (8-dev CPU mesh) must reproduce the
+    single-device blending bit-for-bit (same math, psum of disjoint
+    accumulators)."""
+    import flax.linen as nn
+    from deformablelka_tpu.parallel.mesh import make_mesh
+    from deformablelka_tpu.inference.sliding_window import (
+        SlidingWindowInference)
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            h = nn.Conv(4, (3, 3, 3))(x)
+            return nn.Conv(3, (1, 1, 1))(nn.relu(h))
+
+    model = Tiny()
+    patch = (8, 8, 8)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, *patch, 1)))
+
+    def apply_fn(v, x):
+        return model.apply(v, x)
+
+    vol = np.random.RandomState(0).randn(12, 14, 10, 1).astype(np.float32)
+
+    sw1 = SlidingWindowInference(apply_fn, patch_size=patch, num_classes=3,
+                                 step_size=0.5, do_mirroring=True)
+    ref = sw1.predict(variables, vol)
+
+    mesh = make_mesh(("data",))
+    assert mesh.shape["data"] == 8
+    sw8 = SlidingWindowInference(apply_fn, patch_size=patch, num_classes=3,
+                                 step_size=0.5, do_mirroring=True,
+                                 mesh=mesh)
+    out = sw8.predict(variables, vol)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
