@@ -24,6 +24,13 @@ import numpy as np
 def main():
     import jax
     import jax.numpy as jnp
+
+    # Persistent compile cache: the driver's fresh-process bench run
+    # reuses compiles warmed here. On the remote-compile axon backend a
+    # cold compile of the tiled program is minutes, not seconds.
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from deformablelka_tpu.models.dlka_former import dlka_former_synapse
     from deformablelka_tpu.inference.sliding_window import SlidingWindowInference
 
@@ -31,7 +38,9 @@ def main():
     rng = jax.random.PRNGKey(0)
     patch = (64, 128, 128)
     x0 = jnp.zeros((1, *patch, 1), jnp.bfloat16)
-    variables = model.init(rng, x0)
+    # init MUST be jitted: eager init on the remote (axon) backend pays a
+    # tunnel round trip per op and takes tens of minutes.
+    variables = jax.jit(model.init)(rng, x0)
 
     def apply_fn(params, x):
         return model.apply(params, x.astype(jnp.bfloat16))

@@ -43,7 +43,7 @@ def main(argv=None):
     for fold in args.folds:
         ckpt = CheckpointManager(f"{args.model_folder}/fold_{fold}/ckpt")
         x = jnp.zeros((1, 64, 128, 128, 1), jnp.float32)
-        template = model.init(jax.random.PRNGKey(0), x)
+        template = jax.jit(model.init)(jax.random.PRNGKey(0), x)
         state, _ = ckpt.load(args.checkpoint_name, None)
         variables = {"params": state["params"]}
         if state.get("batch_stats"):

@@ -37,7 +37,7 @@ def main(argv=None):
     model = dlka_net_pancreas(trans_block=args.trans_block,
                               img_size=tuple(args.patch_size))
     x0 = jnp.zeros((1, *args.patch_size, 1), jnp.float32)
-    template = model.init(jax.random.PRNGKey(0), x0)
+    template = jax.jit(model.init)(jax.random.PRNGKey(0), x0)
     target = {"params": template["params"], "step": 0}
     if "batch_stats" in template:
         target["batch_stats"] = template["batch_stats"]

@@ -44,6 +44,19 @@ def make_sgd(lr_schedule, momentum=0.99, nesterov=True, weight_decay=3e-5,
     return optax.chain(*chain)
 
 
+def make_ranger(lr_schedule, weight_decay: float = 0.0,
+                sync_period: int = 6, slow_step_size: float = 0.5):
+    """Ranger = RAdam + Lookahead (reference training/optimizer/ranger.py,
+    present but unused by the default trainers). Composed from optax
+    primitives rather than ported."""
+    fast = optax.chain(
+        optax.add_decayed_weights(weight_decay) if weight_decay
+        else optax.identity(),
+        optax.radam(lr_schedule))
+    return optax.lookahead(fast, sync_period=sync_period,
+                           slow_step_size=slow_step_size)
+
+
 def make_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
                     deep_supervision: bool = True,
                     loss_fn: Callable = dc_and_ce_loss):

@@ -199,6 +199,89 @@ class Trainer3D:
             self._maybe_fallback()
         self.save_checkpoint("model_final_checkpoint")
 
+    # -- LR range test ----------------------------------------------------
+    def find_lr(self, num_iters=1000, init_value=1e-6, final_value=10.0,
+                beta=0.98, plot_file=None):
+        """LR range sweep (network_trainer_synapse.py:719-765): grow LR
+        exponentially each iteration, track the smoothed loss, stop when
+        it exceeds 4× the best. Returns (log10_lrs, smoothed_losses).
+
+        TPU note: LR enters the jitted step as data so the sweep compiles
+        exactly once."""
+        import math
+        import optax
+        from deformablelka_tpu.training.losses import (
+            deep_supervision_weights, dc_and_ce_loss)
+
+        if self.state is None:
+            self.initialize(self.train_gen.next())
+
+        model = self.model
+
+        def loss_of(params, batch_stats, batch):
+            variables = {"params": params}
+            mutable = []
+            if batch_stats is not None:
+                variables["batch_stats"] = batch_stats
+                mutable = ["batch_stats"]
+            out = (model.apply(variables, batch["data"], mutable=mutable)
+                   if mutable else model.apply(variables, batch["data"]))
+            if mutable:
+                out, _ = out
+            if not isinstance(out, (list, tuple)):
+                out = [out]
+            targets = batch["target"]
+            if not isinstance(targets, (list, tuple)):
+                targets = [targets] * len(out)
+            w = deep_supervision_weights(len(out))
+            total = 0.0
+            for i, (o, t) in enumerate(zip(out, targets)):
+                total = total + w[i] * dc_and_ce_loss(o, t)
+            return total
+
+        sgd = optax.sgd(1.0, momentum=self.momentum, nesterov=True)
+        opt_state = sgd.init(self.state.params)
+
+        @jax.jit
+        def sweep_step(params, opt_state, batch_stats, batch, lr):
+            loss, grads = jax.value_and_grad(loss_of)(params, batch_stats,
+                                                      batch)
+            updates, opt_state = sgd.update(grads, opt_state, params)
+            updates = jax.tree_util.tree_map(lambda u: u * lr, updates)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        mult = (final_value / init_value) ** (1.0 / num_iters)
+        lr = init_value
+        params = self.state.params
+        avg_loss, best_loss = 0.0, 0.0
+        losses, log_lrs = [], []
+        for it in range(1, num_iters + 1):
+            batch = self._to_device_batch(self.train_gen.next())
+            params, opt_state, loss = sweep_step(
+                params, opt_state, self.state.batch_stats, batch,
+                jnp.asarray(lr, jnp.float32))
+            loss = float(loss) + 1.0
+            avg_loss = beta * avg_loss + (1 - beta) * loss
+            smoothed = avg_loss / (1 - beta ** it)
+            if it > 1 and smoothed > 4 * best_loss:
+                break
+            if smoothed < best_loss or it == 1:
+                best_loss = smoothed
+            losses.append(smoothed)
+            log_lrs.append(math.log10(lr))
+            lr *= mult
+        if plot_file is not None:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            fig = plt.figure()
+            plt.xscale("log")
+            plt.plot([10 ** l for l in log_lrs[10:-5]], losses[10:-5])
+            plt.savefig(plot_file)
+            plt.close(fig)
+        return log_lrs, losses
+
     def _maybe_fallback(self):
         """Divergence heuristic (d_lka_former_trainer_synapse.py:462-471):
         at epoch 100, if online dice is still 0, drop momentum to 0.95."""
