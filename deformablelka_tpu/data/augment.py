@@ -144,10 +144,23 @@ class MoreDAAugmenter:
             sl = tuple(slice(st, st + p) for st, p in zip(start, ps))
             return data[sl], seg[sl]
         offset = center - mat @ out_center
-        out_data = np.stack([
-            ndimage.affine_transform(data[..., c], mat, offset, ps, order=3,
-                                     mode="constant", cval=0)
-            for c in range(data.shape[-1])], axis=-1)
+        if ndim == 3:
+            # native C++/OpenMP resampler (deformablelka_tpu/native):
+            # order-3 spline with mirror border — the augmentation crops
+            # the patch larger than final (get_patch_size) precisely so
+            # the border never enters the final patch, making the
+            # mirror-vs-constant border choice invisible. Falls back to
+            # scipy when the toolchain is absent.
+            from deformablelka_tpu import native
+            out_data = np.stack([
+                native.affine_transform(data[..., c], mat, offset, ps,
+                                        order=3)
+                for c in range(data.shape[-1])], axis=-1)
+        else:
+            out_data = np.stack([
+                ndimage.affine_transform(data[..., c], mat, offset, ps,
+                                         order=3, mode="constant", cval=0)
+                for c in range(data.shape[-1])], axis=-1)
         out_seg = _interp_seg(seg, mat, offset, ps, order=1, cval=-1)
         return out_data.astype(np.float32), out_seg
 
