@@ -95,13 +95,23 @@ def pad_to_min(x: np.ndarray, patch_size) -> Tuple[np.ndarray, list]:
     return xp, slicer
 
 
+def _flip_flags(tile, flags, spatial_axes):
+    """Conditionally flip each spatial axis; flags: (ndim,) bool DATA (so
+    the flip pattern is a scan carry, not a retrace)."""
+    for i, ax in enumerate(spatial_axes):
+        tile = jnp.where(flags[i], jnp.flip(tile, ax), tile)
+    return tile
+
+
 def _mirror_tta_softmax(apply_fn, params, tile, mirror_axes, do_mirroring):
     """Average softmax over flip combinations. tile: (1, *spatial, C).
 
-    TPU-first: the 2^k flipped copies are stacked into ONE batched forward
-    (a single model instance in the compiled graph, batch=8 on the MXU)
-    instead of the reference's 8 sequential passes
-    (neural_network.py:502-557).
+    TPU-first: the 2^k flip combinations run as a `lax.scan` with the
+    flip pattern as data — the model appears ONCE in the compiled graph
+    at batch 1, keeping peak activation memory at 1/2^k of a batched-TTA
+    forward (a batch-8 64×128×128 forward OOMs a 16 GB chip once the
+    full-volume accumulators are resident). The reference runs the same 8
+    passes eagerly (neural_network.py:502-557).
     """
     ndim = tile.ndim - 2
     spatial_axes = tuple(range(1, 1 + ndim))
@@ -112,18 +122,32 @@ def _mirror_tta_softmax(apply_fn, params, tile, mirror_axes, do_mirroring):
             combo = tuple(a for i, a in enumerate(mirror_axes)
                           if (m >> i) & 1)
             combos.append(combo)
-    axes_list = [tuple(spatial_axes[a] for a in combo) for combo in combos]
-    batch = jnp.concatenate(
-        [jnp.flip(tile, axes) if axes else tile for axes in axes_list], 0)
-    logits = apply_fn(params, batch)
-    if isinstance(logits, (list, tuple)):
-        logits = logits[0]
-    prob = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-    acc = None
-    for i, axes in enumerate(axes_list):
-        p = prob[i:i + 1]
-        p = jnp.flip(p, axes) if axes else p
-        acc = p if acc is None else acc + p
+    flags = np.zeros((len(combos), ndim), bool)
+    for i, combo in enumerate(combos):
+        for a in combo:
+            flags[i, a] = True
+    flags = jnp.asarray(flags)
+
+    if len(combos) == 1:
+        logits = apply_fn(params, tile)
+        if isinstance(logits, (list, tuple)):
+            logits = logits[0]
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+    def body(acc, f):
+        t = _flip_flags(tile, f, spatial_axes)
+        logits = apply_fn(params, t)
+        if isinstance(logits, (list, tuple)):
+            logits = logits[0]
+        prob = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        prob = _flip_flags(prob, f, spatial_axes)
+        return acc + prob, None
+
+    out_shape = jax.eval_shape(
+        lambda p, t: apply_fn(p, t)[0] if isinstance(
+            apply_fn(p, t), (list, tuple)) else apply_fn(p, t),
+        params, tile).shape
+    acc, _ = lax.scan(body, jnp.zeros(out_shape, jnp.float32), flags)
     return acc / len(combos)
 
 

@@ -11,3 +11,7 @@ from deformablelka_tpu.models.maxvit_dlka import (
     MaxViTDeformableLKAFormer,
     maxvit_lka_former,
 )
+from deformablelka_tpu.models.generic_unet import (
+    GenericUNet,
+    generic_unet_3d_from_plans,
+)

@@ -1,0 +1,121 @@
+"""Generic 3D/2D nnU-Net (the reference's baseline/cascade network).
+
+Reference behaviour (re-derived):
+  /root/reference/3D/d_lka_former/network_architecture/generic_UNet.py —
+  Conv-Norm-LReLU ×2 per stage (ConvDropoutNormNonlin), features double
+  per pool capped at 320 (3D) / 512 (2D), strided-conv downsampling,
+  transposed-conv upsampling, concat skips, 1×1 seg heads per decoder
+  stage for deep supervision, nonlin LeakyReLU(0.01), InstanceNorm.
+  Pool/conv kernel sizes come from the experiment plans
+  (experiment_planner_baseline_3DUNet.py:247-357).
+
+TPU-first: channels-last NDHWC, bf16-friendly (norms in fp32), static
+shapes; the network is a plain flax module usable under pjit with
+batch-dim sharding.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import jax.numpy as jnp
+import flax.linen as nn
+
+from deformablelka_tpu.nn.norms import InstanceNorm
+
+
+def lrelu(x):
+    return nn.leaky_relu(x, negative_slope=0.01)
+
+
+class ConvNormLRelu(nn.Module):
+    features: int
+    kernel: Sequence[int] = (3, 3, 3)
+    stride: Sequence[int] = (1, 1, 1)
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.features, tuple(self.kernel),
+                    strides=tuple(self.stride), padding="SAME",
+                    name="conv")(x)
+        x = InstanceNorm(name="norm")(x)
+        return lrelu(x)
+
+
+class StackedConvLayers(nn.Module):
+    features: int
+    first_stride: Sequence[int] = (1, 1, 1)
+    kernel: Sequence[int] = (3, 3, 3)
+    n_convs: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        x = ConvNormLRelu(self.features, self.kernel, self.first_stride,
+                          name="block0")(x)
+        for i in range(1, self.n_convs):
+            x = ConvNormLRelu(self.features, self.kernel, name=f"block{i}")(x)
+        return x
+
+
+class GenericUNet(nn.Module):
+    """num_pool stages; pool_op_kernel_sizes (num_pool, ndim) strides from
+    the plans; returns deep-supervision list [full, 1/2, ...] when do_ds."""
+    num_classes: int
+    base_num_features: int = 32
+    num_pool: int = 5
+    pool_kernel_sizes: Sequence = None   # default (2,2,2) each
+    conv_kernel_sizes: Sequence = None   # default (3,3,3) each stage
+    max_features: int = 320
+    do_ds: bool = True
+    ndim: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        nd = self.ndim
+        pools = (self.pool_kernel_sizes
+                 or [(2,) * nd] * self.num_pool)
+        kernels = (self.conv_kernel_sizes
+                   or [(3,) * nd] * (self.num_pool + 1))
+        feats = [min(self.base_num_features * 2 ** i, self.max_features)
+                 for i in range(self.num_pool + 1)]
+
+        skips = []
+        h = x
+        for s in range(self.num_pool):
+            stride = (1,) * nd if s == 0 else pools[s - 1]
+            h = StackedConvLayers(feats[s], first_stride=stride,
+                                  kernel=kernels[s], name=f"down{s}")(h)
+            skips.append(h)
+        h = StackedConvLayers(feats[self.num_pool],
+                              first_stride=pools[self.num_pool - 1],
+                              kernel=kernels[self.num_pool],
+                              name="bottleneck")(h)
+
+        seg_outputs = []
+        for s in reversed(range(self.num_pool)):
+            h = nn.ConvTranspose(feats[s], tuple(pools[s]),
+                                 strides=tuple(pools[s]),
+                                 name=f"up{s}")(h)
+            h = jnp.concatenate([h, skips[s]], axis=-1)
+            h = StackedConvLayers(feats[s], kernel=kernels[s],
+                                  name=f"dec{s}")(h)
+            seg_outputs.append(
+                nn.Conv(self.num_classes, (1,) * nd, use_bias=False,
+                        name=f"seg{s}")(h))
+        seg_outputs = seg_outputs[::-1]  # [full-res, /2, /4, ...]
+        if self.do_ds:
+            return seg_outputs[:3] if len(seg_outputs) >= 3 else seg_outputs
+        return seg_outputs[0]
+
+
+def generic_unet_3d_from_plans(plans_stage: dict, num_classes: int,
+                               do_ds: bool = True) -> GenericUNet:
+    """Build from a plans stage dict (pool_op_kernel_sizes /
+    conv_kernel_sizes lists, default_configuration.py pathway)."""
+    pools = plans_stage.get("pool_op_kernel_sizes")
+    kernels = plans_stage.get("conv_kernel_sizes")
+    num_pool = len(pools) if pools else 5
+    return GenericUNet(num_classes=num_classes, num_pool=num_pool,
+                       pool_kernel_sizes=pools, conv_kernel_sizes=kernels,
+                       do_ds=do_ds)

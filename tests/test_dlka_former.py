@@ -46,3 +46,23 @@ def test_param_count_synapse_flagship():
     n = sum(int(np.prod(v.shape)) for v in
             jax.tree_util.tree_leaves(variables["params"]))
     assert 40e6 < n < 45e6, f"param count {n/1e6:.2f}M vs published 42.35M"
+
+
+def test_generic_unet_shapes_and_plans():
+    """GenericUNet (generic_UNet.py baseline): DS output pyramid + plans
+    construction."""
+    from deformablelka_tpu.models.generic_unet import (
+        GenericUNet, generic_unet_3d_from_plans)
+
+    m = GenericUNet(num_classes=4, num_pool=3, base_num_features=8)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 16, 1)))
+    outs = m.apply(v, jnp.zeros((1, 16, 16, 16, 1)))
+    assert [o.shape for o in outs] == [(1, 16, 16, 16, 4),
+                                       (1, 8, 8, 8, 4), (1, 4, 4, 4, 4)]
+    # anisotropic pooling from a plans stage
+    stage = {"pool_op_kernel_sizes": [[1, 2, 2], [2, 2, 2]],
+             "conv_kernel_sizes": [[1, 3, 3], [3, 3, 3], [3, 3, 3]]}
+    m2 = generic_unet_3d_from_plans(stage, num_classes=2, do_ds=False)
+    v2 = m2.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 16, 16, 1)))
+    out = m2.apply(v2, jnp.zeros((1, 8, 16, 16, 1)))
+    assert out.shape == (1, 8, 16, 16, 2)
