@@ -371,3 +371,33 @@ def _convert_maxvit_backbone(params, stats, sd, prefix, jprefix,
                 put(f"{ja}/mlp_fc2/weight", f"{a}.mlp.fc2.weight", "linear")
                 put(f"{ja}/mlp_fc2/bias", f"{a}.mlp.fc2.bias", "none")
     put_ln(f"{jprefix}/final_norm", f"{prefix}.norm")
+
+
+def load_maxvit_backbone(path: str, params: dict) -> dict:
+    """Warm-start the 2D model's MaxViT encoder from a timm ImageNet
+    checkpoint (merit_lib/networks.py:239-252 loads
+    maxvit_rmlp_small_rw_224_sw-*.pth into the backbone before training).
+
+    `path` is a bare timm state_dict (keys like 'stem.conv1.weight');
+    returns a copy of `params` with params['backbone'] replaced."""
+
+
+    sd = load_torch_state_dict(path)
+    # tolerate either bare timm keys or a wrapped 'backbone.' prefix
+    if any(k.startswith("backbone.") for k in sd):
+        prefix = ("backbone.backbone"
+                  if any(k.startswith("backbone.backbone.") for k in sd)
+                  else "backbone")
+    else:
+        sd = {f"backbone.{k}": v for k, v in sd.items()}
+        prefix = "backbone"
+    def to_plain(t):
+        if isinstance(t, dict) or hasattr(t, "items"):
+            return {k: to_plain(v) for k, v in t.items()}
+        return t
+
+    new_params = to_plain(params)
+    stats = {}
+    _convert_maxvit_backbone(new_params, stats, sd, prefix=prefix,
+                             jprefix="backbone")
+    return new_params

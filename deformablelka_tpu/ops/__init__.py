@@ -11,9 +11,55 @@ from deformablelka_tpu.ops.convs import (
     depthwise_conv3d,
     same_padding,
 )
-from deformablelka_tpu.ops.deform2d import deform_conv2d
-from deformablelka_tpu.ops.deform3d import deform_conv3d
+from deformablelka_tpu.ops.deform2d import (
+    deform_conv2d as deform_conv2d_gather,
+    deform_conv2d_window,
+)
+from deformablelka_tpu.ops.deform3d import (
+    deform_conv3d as deform_conv3d_gather,
+    deform_conv3d_window,
+)
 from deformablelka_tpu.ops.lka import lka2d, lka3d
+
+import os as _os
+
+
+def _impl() -> str:
+    """'window' (default; gather-free, exact for |Δ|≤radius — XLA
+    gathers are element-serialised on TPU, ~0.1 GB/s measured) or
+    'gather' (reference-exact for unbounded offsets,
+    DLKA_DEFORM_IMPL=gather)."""
+    return _os.environ.get("DLKA_DEFORM_IMPL", "window")
+
+
+DEFORM_WINDOW_RADIUS = int(_os.environ.get("DLKA_DEFORM_RADIUS", "2"))
+
+
+def deform_conv2d(x, offset, w, bias=None, *, stride=1, padding=0,
+                  dilation=1, groups: int = 1):
+    from deformablelka_tpu.ops.convs import _tuple as _t
+    if _impl() == "window" and tuple(_t(stride, 2)) == (1, 1):
+        return deform_conv2d_window(
+            x, offset, w, bias, stride=stride, padding=padding,
+            dilation=dilation, groups=groups,
+            radius=DEFORM_WINDOW_RADIUS)
+    return deform_conv2d_gather(x, offset, w, bias, stride=stride,
+                                padding=padding, dilation=dilation,
+                                groups=groups)
+
+
+def deform_conv3d(x, offset, w, bias=None, *, stride=1, padding=0,
+                  dilation=1, groups: int = 1):
+    from deformablelka_tpu.ops.convs import _tuple as _t
+    if _impl() == "window" and tuple(_t(stride, 3)) == (1, 1, 1):
+        return deform_conv3d_window(
+            x, offset, w, bias, stride=stride, padding=padding,
+            dilation=dilation, groups=groups,
+            radius=DEFORM_WINDOW_RADIUS)
+    return deform_conv3d_gather(x, offset, w, bias, stride=stride,
+                                padding=padding, dilation=dilation,
+                                groups=groups)
+
 
 __all__ = [
     "conv2d",

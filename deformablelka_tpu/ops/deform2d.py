@@ -150,3 +150,90 @@ def deform_sample2d(x, offset, kernel_size, *, stride=1, padding=0,
             cols.append(_bilinear_gather(x_flat, H, W, ys, xs, x.dtype))
     samp = jnp.stack(cols, axis=2)
     return samp.reshape(B, Ho, Wo, K, C)
+
+
+# ---------------------------------------------------------------------------
+# Dense-window deformable conv 2D — the TPU-fast path (gather-free).
+# ---------------------------------------------------------------------------
+
+def deform_conv2d_window(x, offset, w, bias=None, *, stride=1, padding=0,
+                         dilation=1, groups: int = 1, radius: int = 2):
+    """Gather-free deformable 2D convolution, exact for |Δ| ≤ radius.
+
+    Same construction as ops/deform3d.deform_conv3d_window (see its
+    docstring for the TPU rationale — XLA gathers run element-serialised
+    on TPU): bilinear sampling with LOCAL offsets is a band-sparse
+    operator; per tap,
+      sample_k(p) = Σ_{s∈[-(R+1),R+1]²} hat(Δ_k(p)+b_k−s)·x(p+s),
+    all static shifts + dense VPU FMAs; tap loop is a lax.scan.
+    Replaces torchvision's deform_conv2d CUDA gather
+    (2D/deformable_LKA/deformable_LKA.py:18-29 usage: depthwise 5×5 and
+    7×7 dilation-3, stride 1).
+    """
+    kh, kw, cin_g, cout = w.shape
+    B, H, W, C = x.shape
+    sh, sw = _tuple(stride, 2)
+    assert sh == sw == 1, "window path requires stride 1"
+    ph, pw = _tuple(padding, 2)
+    dh, dw = _tuple(dilation, 2)
+    K = kh * kw
+    Ho, Wo = H, W
+    assert offset.shape == (B, Ho, Wo, 2 * K)
+
+    compute_dtype = x.dtype
+    off = jnp.moveaxis(
+        offset.reshape(B, Ho, Wo, K, 2), 3, 0).astype(compute_dtype)
+    off = jnp.clip(off, -radius, radius)
+
+    taps = jnp.asarray(
+        [[i * dh - ph, j * dw - pw]
+         for i in range(kh) for j in range(kw)], jnp.int32)
+
+    depthwise = groups == C and cin_g == 1 and cout == C
+    cpg = C // groups
+    opg = cout // groups
+    if depthwise:
+        w_k = w.reshape(K, C)
+    else:
+        w_k = w.reshape(K, cpg, groups, opg).transpose(0, 2, 1, 3)
+
+    base_min = min(-ph, -pw)
+    base_max = max((kh - 1) * dh - ph, (kw - 1) * dw - pw)
+    lo = radius + 1 - base_min
+    hi = radius + 1 + base_max
+    xp = jnp.pad(x, ((0, 0), (lo, hi), (lo, hi), (0, 0)))
+
+    span = 2 * (radius + 1) + 1
+
+    def tap_body(acc, kt):
+        off_k, tap, wt = kt
+        s_range = jnp.arange(-(radius + 1), radius + 2,
+                             dtype=compute_dtype)
+        hy = jnp.maximum(0.0, 1.0 - jnp.abs(
+            off_k[..., 0][None] - s_range[:, None, None, None]))
+        hx = jnp.maximum(0.0, 1.0 - jnp.abs(
+            off_k[..., 1][None] - s_range[:, None, None, None]))
+        samp = jnp.zeros((B, Ho, Wo, C), compute_dtype)
+        for iy in range(span):
+            for ix in range(span):
+                wgt = (hy[iy] * hx[ix])[..., None]
+                start = (0,
+                         lo + tap[0] + iy - (radius + 1),
+                         lo + tap[1] + ix - (radius + 1),
+                         0)
+                xs = jax.lax.dynamic_slice(xp, start, (B, Ho, Wo, C))
+                samp = samp + wgt * xs
+        if depthwise:
+            contrib = samp * wt.astype(compute_dtype)
+        else:
+            sg = samp.reshape(B, Ho * Wo, groups, cpg)
+            contrib = jnp.einsum(
+                "bpgc,gco->bpgo", sg, wt.astype(compute_dtype)).reshape(
+                B, Ho, Wo, cout)
+        return acc + contrib, None
+
+    init = jnp.zeros((B, Ho, Wo, cout), compute_dtype)
+    out, _ = jax.lax.scan(tap_body, init, (off, taps, w_k))
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out

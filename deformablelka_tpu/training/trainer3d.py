@@ -194,10 +194,61 @@ class Trainer3D:
             self.epoch += 1
             if self.epoch % self.save_every == 0:
                 self.save_checkpoint("model_latest")
-            log.info("epoch %d lr %.5f tr_loss %.4f (%.1fs)", self.epoch,
-                     lr, self.all_tr_losses[-1], time.time() - t0)
+                self.plot_progress()
+            self.print_to_log_file(
+                f"epoch {self.epoch} lr {lr:.5f} "
+                f"tr_loss {self.all_tr_losses[-1]:.4f} "
+                f"({time.time() - t0:.1f}s)")
             self._maybe_fallback()
         self.save_checkpoint("model_final_checkpoint")
+        self.plot_progress()
+
+    # -- observability (network_trainer_synapse.py:188-281) ---------------
+    def print_to_log_file(self, *args):
+        """Timestamped training log file + stdout
+        (network_trainer_synapse.py:249-281)."""
+        import datetime
+        msg = " ".join(str(a) for a in args)
+        stamp = datetime.datetime.now().strftime("%Y-%m-%d %H:%M:%S.%f")
+        line = f"{stamp}: {msg}"
+        log.info(msg)
+        logfile = self.output_folder / "training_log.txt"
+        for _ in range(5):  # fsync-retry like the reference
+            try:
+                with open(logfile, "a") as f:
+                    f.write(line + "\n")
+                break
+            except OSError:
+                time.sleep(0.1)
+
+    def plot_progress(self):
+        """progress.png: train/val losses + online eval metric
+        (network_trainer_synapse.py:188-247)."""
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except Exception:
+            return
+        fig, ax = plt.subplots(figsize=(10, 6))
+        xs = np.arange(1, len(self.all_tr_losses) + 1)
+        ax.plot(xs, self.all_tr_losses, color="b", ls="-",
+                label="loss_tr")
+        if self.all_val_losses:
+            ax.plot(np.arange(1, len(self.all_val_losses) + 1),
+                    self.all_val_losses, color="r", ls="-", label="loss_val")
+        ax.set_xlabel("epoch")
+        ax.set_ylabel("loss")
+        ax.legend(loc="upper left")
+        if self.all_val_eval_metrics:
+            ax2 = ax.twinx()
+            ax2.plot(np.arange(1, len(self.all_val_eval_metrics) + 1),
+                     self.all_val_eval_metrics, color="g", ls="--",
+                     label="evaluation metric")
+            ax2.set_ylabel("dice")
+            ax2.legend(loc="lower right")
+        fig.savefig(self.output_folder / "progress.png")
+        plt.close(fig)
 
     # -- LR range test ----------------------------------------------------
     def find_lr(self, num_iters=1000, init_value=1e-6, final_value=10.0,

@@ -126,3 +126,4 @@ def test_deform2d_grad_finite_difference():
             fd = (float(up) - float(dn)) / (2 * eps)
             an = float(np.asarray(grad).reshape(-1)[idx])
             assert abs(fd - an) < 2e-1 * max(1.0, abs(fd)), (name, idx, fd, an)
+
