@@ -10,7 +10,14 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from deformablelka_tpu.ops import deform_conv2d, deform_conv3d
+# The loop-reference parity tests target the gather implementation (the
+# reference-exact path for UNBOUNDED offsets). The default dispatcher
+# uses the dense-window path, which clips offsets to ±radius — its
+# parity with the gather path is covered by the *_window tests below.
+from deformablelka_tpu.ops import (
+    deform_conv2d_gather as deform_conv2d,
+    deform_conv3d_gather as deform_conv3d,
+)
 from tests.references import deform_conv2d_ref, deform_conv3d_ref
 
 
@@ -127,3 +134,52 @@ def test_deform2d_grad_finite_difference():
             an = float(np.asarray(grad).reshape(-1)[idx])
             assert abs(fd - an) < 2e-1 * max(1.0, abs(fd)), (name, idx, fd, an)
 
+
+
+def test_dispatcher_window_parity_with_gather():
+    """ops.deform_conv3d / deform_conv2d (the dispatcher, default
+    'window') equal the gather path when offsets are inside the window
+    radius."""
+    from deformablelka_tpu import ops
+
+    rng = np.random.RandomState(0)
+    x3 = jnp.asarray(rng.randn(1, 5, 6, 7, 4), jnp.float32)
+    off3 = jnp.asarray(rng.uniform(-1.8, 1.8, (1, 5, 6, 7, 81)),
+                       jnp.float32)
+    w3 = jnp.asarray(rng.randn(3, 3, 3, 4, 4) * 0.1, jnp.float32)
+    ref = ops.deform_conv3d_gather(x3, off3, w3, None, stride=1,
+                                   padding=1, dilation=1, groups=1)
+    out = ops.deform_conv3d(x3, off3, w3, None, stride=1, padding=1,
+                            dilation=1, groups=1)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+    x2 = jnp.asarray(rng.randn(1, 9, 10, 4), jnp.float32)
+    off2 = jnp.asarray(rng.uniform(-1.8, 1.8, (1, 9, 10, 50)),
+                       jnp.float32)
+    w2 = jnp.asarray(rng.randn(5, 5, 1, 4) * 0.1, jnp.float32)
+    ref2 = ops.deform_conv2d_gather(x2, off2, w2, None, stride=1,
+                                    padding=2, dilation=1, groups=4)
+    out2 = ops.deform_conv2d(x2, off2, w2, None, stride=1, padding=2,
+                             dilation=1, groups=4)
+    np.testing.assert_allclose(out2, ref2, atol=2e-5, rtol=2e-5)
+
+
+def test_window_grad_flows():
+    """The window path must be differentiable (training uses it)."""
+    from deformablelka_tpu.ops.deform3d import deform_conv3d_window
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 4, 4, 4, 2), jnp.float32)
+    off = jnp.asarray(rng.uniform(-1, 1, (1, 4, 4, 4, 81)), jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, 3, 2, 2) * 0.1, jnp.float32)
+
+    def loss(x, off, w):
+        return jnp.sum(deform_conv3d_window(
+            x, off, w, None, stride=1, padding=1, dilation=1,
+            groups=1, radius=1) ** 2)
+
+    gx, goff, gw = jax.grad(loss, argnums=(0, 1, 2))(x, off, w)
+    assert np.isfinite(np.asarray(gx)).all()
+    assert np.isfinite(np.asarray(goff)).all()
+    assert float(jnp.abs(goff).max()) > 0
+    assert np.isfinite(np.asarray(gw)).all()
