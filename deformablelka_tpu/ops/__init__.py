@@ -51,11 +51,22 @@ def deform_conv2d(x, offset, w, bias=None, *, stride=1, padding=0,
 def deform_conv3d(x, offset, w, bias=None, *, stride=1, padding=0,
                   dilation=1, groups: int = 1):
     from deformablelka_tpu.ops.convs import _tuple as _t
-    if _impl() == "window" and tuple(_t(stride, 3)) == (1, 1, 1):
-        return deform_conv3d_window(
-            x, offset, w, bias, stride=stride, padding=padding,
-            dilation=dilation, groups=groups,
-            radius=DEFORM_WINDOW_RADIUS)
+    impl = _impl()
+    if impl in ("window", "pallas"):
+        from deformablelka_tpu.ops.pallas.deform3d_kernel import (
+            deform_conv3d_pallas, pallas_supported)
+        kd, kh, kw = w.shape[:3]
+        if (impl != "window" or True) and pallas_supported(
+                kd, kh, kw, stride, padding, dilation, groups,
+                x.shape[-1], w.shape[-1], spatial=x.shape[1:4]):
+            out = deform_conv3d_pallas(x, offset, w,
+                                       DEFORM_WINDOW_RADIUS)
+            return out if bias is None else out + bias.astype(out.dtype)
+        if tuple(_t(stride, 3)) == (1, 1, 1):
+            return deform_conv3d_window(
+                x, offset, w, bias, stride=stride, padding=padding,
+                dilation=dilation, groups=groups,
+                radius=DEFORM_WINDOW_RADIUS)
     return deform_conv3d_gather(x, offset, w, bias, stride=stride,
                                 padding=padding, dilation=dilation,
                                 groups=groups)

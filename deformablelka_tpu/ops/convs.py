@@ -69,6 +69,33 @@ def conv2d(x, w, *, stride=1, padding="same", dilation=1, groups: int = 1,
     return out
 
 
+def _conv3d_im2col(x, w, padding, bias):
+    """Dense 3³ stride-1 conv as 27 static shifts + ONE MXU GEMM.
+
+    On this TPU backend XLA's conv emitter runs ~2× slower than an
+    explicit im2col matmul at the model's channel widths (measured:
+    917→433 ms at full-res C=16, 196→96 ms at C=64). Only used for
+    kernel 3³, stride 1, dilation 1, symmetric padding 1, groups 1.
+    """
+    B, D, H, W, C = x.shape
+    Co = w.shape[-1]
+    xp = jnp.pad(x, ((0, 0), padding[0], padding[1], padding[2], (0, 0)))
+    cols = []
+    for dz in range(3):
+        for dy in range(3):
+            for dx in range(3):
+                cols.append(lax.slice(xp, (0, dz, dy, dx, 0),
+                                      (B, dz + D, dy + H, dx + W, C)))
+    col = jnp.concatenate(cols, axis=-1)
+    out = jnp.dot(col.reshape(B * D * H * W, 27 * C),
+                  w.astype(x.dtype).reshape(27 * C, Co),
+                  preferred_element_type=jnp.float32)
+    out = out.astype(x.dtype).reshape(B, D, H, W, Co)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
 def conv3d(x, w, *, stride=1, padding="same", dilation=1, groups: int = 1,
            bias=None, precision=None):
     """3D conv, x: (B, D, H, W, Cin), w: (kd, kh, kw, Cin//groups, Cout)."""
@@ -80,6 +107,11 @@ def conv3d(x, w, *, stride=1, padding="same", dilation=1, groups: int = 1,
         padding = [(padding, padding)] * 3
     elif isinstance(padding, (tuple, list)) and padding and isinstance(padding[0], int):
         padding = [(p, p) for p in padding]
+    import os
+    if (w.shape[:3] == (3, 3, 3) and st == (1, 1, 1) and dil == (1, 1, 1)
+            and groups == 1 and tuple(padding) == ((1, 1),) * 3
+            and os.environ.get("DLKA_CONV_IMPL", "im2col") == "im2col"):
+        return _conv3d_im2col(x, w, padding, bias)
     out = lax.conv_general_dilated(
         x, w.astype(x.dtype), window_strides=st, padding=padding,
         rhs_dilation=dil, feature_group_count=groups,

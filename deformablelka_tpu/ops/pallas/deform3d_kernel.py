@@ -36,60 +36,90 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+MAX_TILE = 16       # largest (H, W) tile the backend compiles
+MAX_TILE_Z = 8      # z-tiles of 16 with >1 z-step miscompile remotely
+MAX_CHANNELS = 128  # C=256 fails to compile remotely; XLA fallback
+
+
+def _tile_of(n: int, cap: int = MAX_TILE) -> int:
+    """Largest divisor of n that is ≤ cap."""
+    t = min(n, cap)
+    while n % t:
+        t -= 1
+    return t
+
+
 def pallas_supported(kd, kh, kw, stride, padding, dilation, groups, C,
-                     cout) -> bool:
+                     cout, spatial=None) -> bool:
     from deformablelka_tpu.ops.convs import _tuple
-    return (jax.default_backend() in ("tpu", "axon")
-            and (kd, kh, kw) == (3, 3, 3)
-            and tuple(_tuple(stride, 3)) == (1, 1, 1)
-            and tuple(_tuple(padding, 3)) == (1, 1, 1)
-            and tuple(_tuple(dilation, 3)) == (1, 1, 1)
-            and groups == 1 and C == cout)
+    ok = (jax.default_backend() in ("tpu", "axon")
+          and (kd, kh, kw) == (3, 3, 3)
+          and tuple(_tuple(stride, 3)) == (1, 1, 1)
+          and tuple(_tuple(padding, 3)) == (1, 1, 1)
+          and tuple(_tuple(dilation, 3)) == (1, 1, 1)
+          and groups == 1 and C == cout and C <= MAX_CHANNELS)
+    if ok and spatial is not None:
+        ok = all(_tile_of(int(s)) >= 4 for s in spatial)
+    return ok
 
 
-def _kernel(off_ref, w_ref, xp_hbm, out_ref, x_vmem, sem, *,
-            SZ, H, W, C, R, m):
-    """One grid step = one (batch, z-slab).
+def _sample_kernel(off_ref, xt_ref, out_ref, *, TZ, TY, TX, C, R, m):
+    """One grid step = one (tap, spatial tile): the dense-window
+    trilinear sample field for tap k over a (TZ, TY, TX) tile.
 
-    off_ref: (1, SZ, H, W, 81) VMEM — (Δd, Δh, Δw) per tap, row-major.
-    w_ref:   (27, C, C) VMEM.
-    xp_hbm:  (B, D+2m, H+2m, W+2m, C) in HBM (pre-padded).
-    out_ref: (1, SZ, H, W, C) VMEM.
-    x_vmem:  (SZ+2m, H+2m, W+2m, C) scratch.
+    Backend constraints discovered by bisection (remote Mosaic):
+      - no dynamic ref indexing whose value crosses a nested fori, and
+        no dot fed by a nested-fori carry → the tap index is a GRID
+        dimension and the channel mixing is one MXU einsum OUTSIDE;
+      - tiles larger than 16 in H/W, C > 128, or bf16 blocks fail to
+        compile → everything arrives as f32 tiles ≤ 16³ with halos
+        pre-sliced in XLA.
+
+    off_ref: (3, TZ, TY, TX) VMEM f32 — (Δd, Δh, Δw) for THIS tap/tile.
+    xt_ref:  (TZ+2m, TY+2m, TX+2m, C) VMEM f32 — tile with halo m.
+    out_ref: (TZ, TY, TX, C) VMEM block.
     """
-    b = pl.program_id(0)
-    zi = pl.program_id(1)
+    k = pl.program_id(0)
+    bz = k // 9 - 1
+    by = (k // 3) % 3 - 1
+    bx = k % 3 - 1
+    span = 2 * R + 2  # window s ∈ [-R, R+1]
 
-    dma = pltpu.make_async_copy(
-        xp_hbm.at[b, pl.ds(zi * SZ, SZ + 2 * m)], x_vmem, sem)
-    dma.start()
-    dma.wait()
+    def win_body(widx, samp):
+        dz = jnp.clip(off_ref[0], -R, R)
+        dy = jnp.clip(off_ref[1], -R, R)
+        dx = jnp.clip(off_ref[2], -R, R)
+        sz = widx // (span * span) - R
+        sy = (widx // span) % span - R
+        sx = widx % span - R
+        wgt = (jnp.maximum(0.0, 1.0 - jnp.abs(dz - sz))
+               * jnp.maximum(0.0, 1.0 - jnp.abs(dy - sy))
+               * jnp.maximum(0.0, 1.0 - jnp.abs(dx - sx)))
+        xs = xt_ref[pl.ds(m + bz + sz, TZ),
+                    pl.ds(m + by + sy, TY),
+                    pl.ds(m + bx + sx, TX), :]
+        return samp + wgt[..., None] * xs
 
-    s_vals = list(range(-R, R + 2))
-    acc = jnp.zeros((SZ * H * W, C), jnp.float32)
-    for k in range(27):
-        bz, by, bx = k // 9 - 1, (k // 3) % 3 - 1, k % 3 - 1
-        dz = off_ref[0, :, :, :, 3 * k].astype(jnp.float32)
-        dy = off_ref[0, :, :, :, 3 * k + 1].astype(jnp.float32)
-        dx = off_ref[0, :, :, :, 3 * k + 2].astype(jnp.float32)
-        dz = jnp.clip(dz, -R, R)
-        dy = jnp.clip(dy, -R, R)
-        dx = jnp.clip(dx, -R, R)
-        samp = jnp.zeros((SZ, H, W, C), jnp.float32)
-        for sz in s_vals:
-            hz = jnp.maximum(0.0, 1.0 - jnp.abs(dz - sz))
-            for sy in s_vals:
-                hzy = hz * jnp.maximum(0.0, 1.0 - jnp.abs(dy - sy))
-                for sx in s_vals:
-                    wgt = hzy * jnp.maximum(0.0, 1.0 - jnp.abs(dx - sx))
-                    xs = x_vmem[m + bz + sz: m + bz + sz + SZ,
-                                m + by + sy: m + by + sy + H,
-                                m + bx + sx: m + bx + sx + W, :]
-                    samp = samp + wgt[..., None] * xs.astype(jnp.float32)
-        acc = acc + jnp.dot(samp.reshape(SZ * H * W, C),
-                            w_ref[k].astype(jnp.float32),
-                            preferred_element_type=jnp.float32)
-    out_ref[0] = acc.reshape(SZ, H, W, C).astype(out_ref.dtype)
+    samp = jax.lax.fori_loop(0, span ** 3, win_body,
+                             jnp.zeros((TZ, TY, TX, C), jnp.float32))
+    out_ref[...] = samp
+
+
+def _make_tiles(xp, D, H, W, TZ, TY, TX, m):
+    """Overlapping (T+2m)³ tiles of the padded volume, flattened on
+    dim 0 so 4D BlockSpecs can index them: (n_t·(TZ+2m), TY+2m,
+    TX+2m, C)."""
+    tiles = []
+    for z in range(D // TZ):
+        for y in range(H // TY):
+            for xx in range(W // TX):
+                t = jax.lax.slice(
+                    xp,
+                    (z * TZ, y * TY, xx * TX, 0),
+                    (z * TZ + TZ + 2 * m, y * TY + TY + 2 * m,
+                     xx * TX + TX + 2 * m, xp.shape[-1]))
+                tiles.append(t)
+    return jnp.concatenate(tiles, axis=0)
 
 
 def _forward(x, offset, w, radius: int, interpret: bool = False):
@@ -97,50 +127,65 @@ def _forward(x, offset, w, radius: int, interpret: bool = False):
     B, D, H, W, C = x.shape
     R = radius
     m = R + 2  # window R+1 plus tap base 1
-    xp = jnp.pad(x, ((0, 0), (m, m), (m, m), (m, m), (0, 0)))
-    off = offset
-    w_k = w.reshape(27, C, C)
+    TZ = _tile_of(D, MAX_TILE_Z) if D > MAX_TILE else _tile_of(D)
+    TY, TX = _tile_of(H), _tile_of(W)
+    n_z, n_y, n_x = D // TZ, H // TY, W // TX
+    n_t = n_z * n_y * n_x
 
-    # pick a z-slab size dividing D, bounded by a VMEM budget
-    SZ = D
-    # budget: x_vmem + samp + acc + off slab, fp32 words
-    def vmem_words(sz):
-        return ((sz + 2 * m) * (H + 2 * m) * (W + 2 * m) * C
-                + 2 * sz * H * W * C + sz * H * W * 81)
-    while SZ > 1 and vmem_words(SZ) * 4 > 10 * 2 ** 20:
-        # find the next smaller divisor of D
-        SZ -= 1
-        while SZ > 1 and D % SZ:
-            SZ -= 1
-    n_z = D // SZ
+    xp_all = jnp.pad(x, ((0, 0), (m, m), (m, m), (m, m), (0, 0))
+                     ).astype(jnp.float32)
+    # (B, 27, 3, D, H, W) → per-tile blocks (27·n_t·3, TZ, TY, TX)
+    off_all = jnp.transpose(
+        offset.reshape(B, D, H, W, 27, 3),
+        (0, 4, 5, 1, 2, 3)).astype(jnp.float32)
+    w_k = w.reshape(27 * C, C)
 
-    kern = functools.partial(_kernel, SZ=SZ, H=H, W=W, C=C, R=R, m=m)
-    flops = B * D * H * W * C * 27 * (2 * (2 * (R + 1)) ** 3 + 2 * C)
-    out = pl.pallas_call(
-        kern,
-        grid=(B, n_z),
-        in_specs=[
-            pl.BlockSpec((1, SZ, H, W, 81),
-                         lambda b, z: (b, z, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_specs=pl.BlockSpec((1, SZ, H, W, C),
-                               lambda b, z: (b, z, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, D, H, W, C), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM(((SZ + 2 * m), (H + 2 * m), (W + 2 * m), C),
-                       x.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=flops, bytes_accessed=x.size * x.dtype.itemsize * 2,
-            transcendentals=0),
-        interpret=interpret,
-    )(off, w_k, xp)
-    return out
+    kern = functools.partial(_sample_kernel, TZ=TZ, TY=TY, TX=TX, C=C,
+                             R=R, m=m)
+    flops = D * H * W * C * 27 * 2 * (2 * (R + 1)) ** 3
+
+    def one_batch(args):
+        off, xp = args
+        # offsets tiled: (27, 3, nz, TZ, ny, TY, nx, TX) →
+        # (27, n_t, 3, TZ, TY, TX) → flat dim0
+        o = off.reshape(27, 3, n_z, TZ, n_y, TY, n_x, TX)
+        o = jnp.transpose(o, (0, 2, 4, 6, 1, 3, 5, 7))
+        o = o.reshape(27 * n_t * 3, TZ, TY, TX)
+        tiles = _make_tiles(xp, D, H, W, TZ, TY, TX, m)
+        samp = pl.pallas_call(
+            kern,
+            grid=(27, n_t),
+            in_specs=[
+                pl.BlockSpec((3, TZ, TY, TX),
+                             lambda k, t: (k * n_t + t, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TZ + 2 * m, TY + 2 * m, TX + 2 * m, C),
+                             lambda k, t: (t, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((TZ, TY, TX, C),
+                                   lambda k, t: (k * n_t + t, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((27 * n_t * TZ, TY, TX, C),
+                                           jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=flops,
+                bytes_accessed=27 * xp.size * 4,
+                transcendentals=0),
+            interpret=interpret,
+        )(o, tiles)
+        # reassemble tiles → (27, D*H*W, C), then ONE MXU GEMM
+        s = samp.reshape(27, n_z, n_y, n_x, TZ, TY, TX, C)
+        s = jnp.transpose(s, (0, 1, 4, 2, 5, 3, 6, 7))
+        s = s.reshape(27, D * H * W, C)
+        s = jnp.moveaxis(s, 0, 1).reshape(D * H * W, 27 * C)
+        out = jnp.dot(s, w_k.astype(s.dtype),
+                      preferred_element_type=jnp.float32)
+        return out.reshape(D, H, W, C).astype(x.dtype)
+
+    if B == 1:
+        return one_batch((off_all[0], xp_all[0]))[None]
+    return jax.lax.map(one_batch, (off_all, xp_all))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))

@@ -183,3 +183,52 @@ def test_window_grad_flows():
     assert np.isfinite(np.asarray(goff)).all()
     assert float(jnp.abs(goff).max()) > 0
     assert np.isfinite(np.asarray(gw)).all()
+
+
+def test_conv3d_im2col_parity():
+    """The im2col 3³ conv path must equal lax.conv exactly."""
+    import os
+    from deformablelka_tpu.ops import conv3d
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 5, 6, 7, 4), jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, 3, 4, 6) * 0.3, jnp.float32)
+    b = jnp.asarray(rng.randn(6), jnp.float32)
+    a = conv3d(x, w, padding=1, bias=b)  # im2col default
+    os.environ["DLKA_CONV_IMPL"] = "lax"
+    try:
+        ref = conv3d(x, w, padding=1, bias=b)
+    finally:
+        os.environ.pop("DLKA_CONV_IMPL")
+    np.testing.assert_allclose(a, ref, atol=2e-5, rtol=2e-5)
+
+
+def test_pallas_deform_interpret_parity_and_grad():
+    """Pallas kernel (interpret mode) vs gather reference + VJP check."""
+    from deformablelka_tpu.ops.pallas.deform3d_kernel import (
+        deform_conv3d_pallas)
+    from deformablelka_tpu.ops import deform_conv3d_gather
+
+    rng = np.random.RandomState(0)
+    for (B, D, H, W, C) in ((1, 4, 6, 8, 4), (2, 4, 4, 4, 2),
+                            (1, 8, 32, 16, 4)):
+        x = jnp.asarray(rng.randn(B, D, H, W, C), jnp.float32)
+        off = jnp.asarray(rng.uniform(-1.5, 1.5, (B, D, H, W, 81)),
+                          jnp.float32)
+        w = jnp.asarray(rng.randn(3, 3, 3, C, C) * 0.1, jnp.float32)
+        ref = deform_conv3d_gather(x, off, w, None, stride=1, padding=1,
+                                   dilation=1, groups=1)
+        out = deform_conv3d_pallas(x, off, w, 2, True)
+        np.testing.assert_allclose(out, ref, atol=5e-5, rtol=5e-5)
+
+    def loss(x, off, w):
+        return jnp.sum(deform_conv3d_pallas(x, off, w, 1, True) ** 2)
+
+    x = jnp.asarray(rng.randn(1, 4, 4, 4, 2), jnp.float32)
+    off = jnp.asarray(rng.uniform(-0.9, 0.9, (1, 4, 4, 4, 81)),
+                      jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, 3, 2, 2) * 0.1, jnp.float32)
+    gx, goff, gw = jax.grad(loss, argnums=(0, 1, 2))(x, off, w)
+    for g in (gx, goff, gw):
+        assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(goff).max()) > 0
