@@ -25,11 +25,14 @@ import os as _os
 
 
 def _impl() -> str:
-    """'window' (default; gather-free, exact for |Δ|≤radius — XLA
-    gathers are element-serialised on TPU, ~0.1 GB/s measured) or
-    'gather' (reference-exact for unbounded offsets,
-    DLKA_DEFORM_IMPL=gather)."""
-    return _os.environ.get("DLKA_DEFORM_IMPL", "window")
+    """Deform-conv implementation (DLKA_DEFORM_IMPL):
+    'gather'  — reference-exact, unbounded offsets; best END-TO-END on
+                the round-1 tunneled chip (PERF.md), so the default.
+    'window'  — XLA dense-window, exact for |Δ|≤radius.
+    'pallas'  — Pallas kernel (VMEM window + MXU mixing); the right
+                answer on unthrottled silicon, per-op slower here at
+                C=32."""
+    return _os.environ.get("DLKA_DEFORM_IMPL", "gather")
 
 
 DEFORM_WINDOW_RADIUS = int(_os.environ.get("DLKA_DEFORM_RADIUS", "2"))
@@ -56,7 +59,7 @@ def deform_conv3d(x, offset, w, bias=None, *, stride=1, padding=0,
         from deformablelka_tpu.ops.pallas.deform3d_kernel import (
             deform_conv3d_pallas, pallas_supported)
         kd, kh, kw = w.shape[:3]
-        if (impl != "window" or True) and pallas_supported(
+        if impl == "pallas" and pallas_supported(
                 kd, kh, kw, stride, padding, dilation, groups,
                 x.shape[-1], w.shape[-1], spatial=x.shape[1:4]):
             out = deform_conv3d_pallas(x, offset, w,

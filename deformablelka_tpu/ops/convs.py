@@ -110,7 +110,7 @@ def conv3d(x, w, *, stride=1, padding="same", dilation=1, groups: int = 1,
     import os
     if (w.shape[:3] == (3, 3, 3) and st == (1, 1, 1) and dil == (1, 1, 1)
             and groups == 1 and tuple(padding) == ((1, 1),) * 3
-            and os.environ.get("DLKA_CONV_IMPL", "im2col") == "im2col"):
+            and os.environ.get("DLKA_CONV_IMPL", "lax") == "im2col"):
         return _conv3d_im2col(x, w, padding, bias)
     out = lax.conv_general_dilated(
         x, w.astype(x.dtype), window_strides=st, padding=padding,
