@@ -192,7 +192,16 @@ class SlidingWindowInference:
         # neural_network.py:376-396 python loop, here one SPMD program).
         self.mesh = mesh
         self.mesh_axis = mesh_axis
+        # "host": compile ONE tile-TTA program + one accumulate program
+        # and loop tiles from the host (compile ≈ a single forward;
+        # per-tile dispatch overhead is negligible next to the forward).
+        # "scan": the whole volume as one lax.scan program (fewest
+        # dispatches, but the XLA compile of the tiled program is ~6×
+        # a single forward's — see PERF.md).
+        self.loop_mode = "host" if mesh is None else "scan"
         self._jitted = {}
+        self._tile_fn = None
+        self._acc_fn = None
 
     def _build(self, padded_shape, n_tiles):
         patch = self.patch_size
@@ -289,14 +298,57 @@ class SlidingWindowInference:
             gauss = gaussian_importance_map(self.patch_size)
         else:
             gauss = np.ones(self.patch_size, np.float32)
-        key = (padded_shape, len(origins))
-        if key not in self._jitted:
-            self._jitted[key] = self._build(padded_shape, len(origins))
-        probs = self._jitted[key](params, jnp.asarray(data),
-                                  jnp.asarray(origins),
-                                  jnp.asarray(weights), jnp.asarray(gauss))
+        if self.loop_mode == "host" and self.mesh is None:
+            probs = self._predict_host_loop(params, data, origins, gauss)
+        else:
+            key = (padded_shape, len(origins))
+            if key not in self._jitted:
+                self._jitted[key] = self._build(padded_shape, len(origins))
+            probs = self._jitted[key](params, jnp.asarray(data),
+                                      jnp.asarray(origins),
+                                      jnp.asarray(weights),
+                                      jnp.asarray(gauss))
         probs = np.asarray(probs)
         return probs[tuple(slicer)]
+
+    def _predict_host_loop(self, params, data, origins, gauss):
+        patch = self.patch_size
+        ncls = self.num_classes
+
+        if self._tile_fn is None:
+            def tile_fn(params, data, origin):
+                tile = lax.dynamic_slice(
+                    data, (origin[0], origin[1], origin[2], 0),
+                    (*patch, data.shape[-1]))[None]
+                return _mirror_tta_softmax(self.apply_fn, params, tile,
+                                           self.mirror_axes,
+                                           self.do_mirroring)[0]
+
+            def acc_fn(num, den, prob, gauss, origin):
+                prob = prob * gauss[..., None]
+                cur = lax.dynamic_slice(
+                    num, (origin[0], origin[1], origin[2], 0),
+                    (*patch, ncls))
+                num = lax.dynamic_update_slice(
+                    num, cur + prob, (origin[0], origin[1], origin[2], 0))
+                curd = lax.dynamic_slice(
+                    den, (origin[0], origin[1], origin[2]), patch)
+                den = lax.dynamic_update_slice(
+                    den, curd + gauss, (origin[0], origin[1], origin[2]))
+                return num, den
+
+            self._tile_fn = jax.jit(tile_fn)
+            self._acc_fn = jax.jit(acc_fn)
+
+        dev_data = jnp.asarray(data)
+        dev_gauss = jnp.asarray(gauss)
+        num = jnp.zeros((*data.shape[:3], ncls), jnp.float32)
+        den = jnp.zeros(data.shape[:3], jnp.float32)
+        for o in origins:
+            od = jnp.asarray(o)
+            prob = self._tile_fn(params, dev_data, od)
+            num, den = self._acc_fn(num, den, prob, dev_gauss, od)
+        return num / den[..., None]
 
     def predict_segmentation(self, params, volume: np.ndarray) -> np.ndarray:
         return np.argmax(self.predict(params, volume), axis=-1)

@@ -136,3 +136,36 @@ def test_sharded_sliding_window_matches_single_device():
                                  mesh=mesh)
     out = sw8.predict(variables, vol)
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_host_loop_matches_scan_mode():
+    """loop_mode='host' (one tile program + host loop) must equal the
+    one-program scan mode exactly."""
+    import flax.linen as nn
+    from deformablelka_tpu.inference.sliding_window import (
+        SlidingWindowInference)
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            h = nn.Conv(4, (3, 3, 3))(x)
+            return nn.Conv(3, (1, 1, 1))(nn.relu(h))
+
+    model = Tiny()
+    patch = (8, 8, 8)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, *patch, 1)))
+
+    def apply_fn(v, x):
+        return model.apply(v, x)
+
+    vol = np.random.RandomState(0).randn(12, 14, 10, 1).astype(np.float32)
+    sw_h = SlidingWindowInference(apply_fn, patch_size=patch,
+                                  num_classes=3, do_mirroring=True)
+    assert sw_h.loop_mode == "host"
+    out_h = sw_h.predict(variables, vol)
+    sw_s = SlidingWindowInference(apply_fn, patch_size=patch,
+                                  num_classes=3, do_mirroring=True)
+    sw_s.loop_mode = "scan"
+    out_s = sw_s.predict(variables, vol)
+    np.testing.assert_allclose(out_h, out_s, rtol=1e-5, atol=1e-6)
