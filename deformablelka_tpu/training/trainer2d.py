@@ -137,7 +137,13 @@ class Trainer2D:
                 self.eval_hook(self)
                 self.ckpt.save(f"epoch_{self.epoch}", self.state,
                                {"epoch": self.epoch})
-        self.ckpt.save("best_model", self.state, {"epoch": self.epoch})
+        # portable inference checkpoint (the .pth state_dict analog,
+        # trainer_MaxViT_deform_LKA.py:180-183) — params + stats only,
+        # loadable without reconstructing the optimizer pytree
+        self.ckpt.save("best_model",
+                       {"params": self.state.params,
+                        "batch_stats": self.state.batch_stats or {}},
+                       {"epoch": self.epoch})
 
 
 class ReduceLROnPlateau:
