@@ -15,3 +15,9 @@ from deformablelka_tpu.models.generic_unet import (
     GenericUNet,
     generic_unet_3d_from_plans,
 )
+from deformablelka_tpu.models.daeformer import DAEFormer
+from deformablelka_tpu.models.pancreas_baselines import (
+    VNet,
+    ResSegNet3D,
+    UNETRMini,
+)
