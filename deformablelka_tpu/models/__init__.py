@@ -21,3 +21,4 @@ from deformablelka_tpu.models.pancreas_baselines import (
     ResSegNet3D,
     UNETRMini,
 )
+from deformablelka_tpu.models.swinunet import SwinUNet
