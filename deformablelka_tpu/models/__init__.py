@@ -22,3 +22,4 @@ from deformablelka_tpu.models.pancreas_baselines import (
     UNETRMini,
 )
 from deformablelka_tpu.models.swinunet import SwinUNet
+from deformablelka_tpu.models.dat_lka import DATLKAFormer

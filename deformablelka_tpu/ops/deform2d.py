@@ -237,3 +237,22 @@ def deform_conv2d_window(x, offset, w, bias=None, *, stride=1, padding=0,
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out
+
+
+def grid_sample_bilinear(x, grid):
+    """torch F.grid_sample(mode='bilinear', align_corners=True) on NHWC.
+
+    x: (B, H, W, C); grid: (B, Hg, Wg, 2) with (x, y) in [-1, 1]
+    (torch channel order). Out-of-range samples are zero (torch
+    padding_mode='zeros'). Used by the DAT deformable-attention encoder
+    (DAT/dat_blocks.py:243-247).
+    """
+    B, H, W, C = x.shape
+    Hg, Wg = grid.shape[1:3]
+    gx = (grid[..., 0] + 1.0) * 0.5 * (W - 1)
+    gy = (grid[..., 1] + 1.0) * 0.5 * (H - 1)
+    x_flat = x.reshape(B, H * W, C)
+    out = _bilinear_gather(x_flat, H, W,
+                           gy.reshape(B, Hg * Wg),
+                           gx.reshape(B, Hg * Wg), x.dtype)
+    return out.reshape(B, Hg, Wg, C)

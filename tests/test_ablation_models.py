@@ -47,3 +47,30 @@ def test_swin_window_roundtrip():
     idx = relative_position_index(7)
     assert idx.shape == (49, 49)
     assert idx.max() == (2 * 7 - 1) ** 2 - 1
+
+
+def test_dat_lka_shapes_and_grid_sample():
+    from deformablelka_tpu.models.dat_lka import DATLKAFormer
+    m = DATLKAFormer(num_classes=9, dims=(16, 32, 64, 128),
+                     depths=(1, 1, 2, 1), heads=(2, 2, 4, 4),
+                     groups=(1, 1, 2, 2), stage_spec=("D", "L", "LD", "D"))
+    x = jnp.zeros((1, 224, 224, 1))
+    v = m.init(jax.random.PRNGKey(0), x)
+    assert m.apply(v, x).shape == (1, 224, 224, 9)
+
+
+def test_grid_sample_matches_torch():
+    import pytest
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+    from deformablelka_tpu.ops.deform2d import grid_sample_bilinear
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 7, 9, 3).astype(np.float32)
+    grid = rng.uniform(-1.2, 1.2, (2, 5, 6, 2)).astype(np.float32)
+    ours = np.asarray(grid_sample_bilinear(jnp.asarray(x),
+                                           jnp.asarray(grid)))
+    ref = F.grid_sample(torch.tensor(x).permute(0, 3, 1, 2),
+                        torch.tensor(grid), mode="bilinear",
+                        align_corners=True).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
