@@ -23,3 +23,7 @@ from deformablelka_tpu.models.pancreas_baselines import (
 )
 from deformablelka_tpu.models.swinunet import SwinUNet
 from deformablelka_tpu.models.dat_lka import DATLKAFormer
+from deformablelka_tpu.models.mvit import MViT4Out, MViTLKAFormer
+from deformablelka_tpu.models.dae_lka import DAELKAFormer
+from deformablelka_tpu.models.transunet import TransUNet
+from deformablelka_tpu.models.hiformer import HiFormer

@@ -1,0 +1,106 @@
+"""MViT-LKA, DAE-LKA, TransUNet, HiFormer shape + semantics tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+def test_mvit_lka_shapes():
+    from deformablelka_tpu.models.mvit import MViTLKAFormer
+    m = MViTLKAFormer(num_classes=9, img_size=224, embed_dim=16,
+                      depth=4, last_block_indexes=(0, 1, 2, 3))
+    x = jnp.zeros((1, 224, 224, 1))
+    v = m.init(jax.random.PRNGKey(0), x)
+    assert m.apply(v, x).shape == (1, 224, 224, 9)
+
+
+def test_mvit_window_roundtrip_and_relpos():
+    from deformablelka_tpu.models.mvit import (
+        window_partition, window_unpartition, _rel_pos_select)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 13, 11, 4))
+    w, pad = window_partition(x, 7)
+    assert w.shape == (2 * 2 * 2, 7, 7, 4)
+    back = window_unpartition(w, 7, pad, (13, 11))
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+    # q=14 vs k=28 indexes the full 2*28-1 table
+    table = jnp.arange(55, dtype=jnp.float32)[:, None]
+    sel = _rel_pos_select(14, 28, table)
+    assert sel.shape == (14, 28, 1)
+    # matching sizes degrade to the usual (q - k + k - 1) indexing
+    sel2 = np.asarray(_rel_pos_select(4, 4, jnp.arange(7.0)[:, None]))
+    assert sel2[0, 3, 0] == 0 and sel2[3, 0, 0] == 6
+
+
+def test_mvit_backbone_param_count_full():
+    """MViTv2-S 4-out backbone lands in the published ~45M range."""
+    from deformablelka_tpu.models.mvit import MViT4Out
+    m = MViT4Out(img_size=224)
+    shapes = jax.eval_shape(
+        lambda k: m.init(k, jnp.zeros((1, 224, 224, 3))),
+        jax.random.PRNGKey(0))
+    n = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(shapes))
+    assert 35e6 < n < 55e6
+
+
+def test_dae_lka_shapes():
+    from deformablelka_tpu.models.dae_lka import DAELKAFormer
+    m = DAELKAFormer(num_classes=9, dims=(32, 80, 128), layers=(1, 1, 1))
+    x = jnp.zeros((1, 224, 224, 1))
+    v = m.init(jax.random.PRNGKey(0), x)
+    assert m.apply(v, x).shape == (1, 224, 224, 9)
+
+
+def test_transunet_shapes_and_sigmoid():
+    from deformablelka_tpu.models.transunet import TransUNet
+    m = TransUNet(num_classes=1, img_size=224, hidden=32, num_layers=2,
+                  heads=4, mlp_dim=64, block_units=(1, 1, 1))
+    x = jnp.zeros((1, 224, 224, 1))
+    v = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(v, x)
+    assert out.shape == (1, 224, 224, 1)
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+
+
+def test_upsample_align_corners_matches_torch():
+    torch = pytest.importorskip("torch")
+    from deformablelka_tpu.models.transunet import upsample_bilinear2x
+    xn = np.random.RandomState(0).randn(2, 7, 9, 3).astype(np.float32)
+    ours = np.asarray(upsample_bilinear2x(jnp.asarray(xn)))
+    theirs = torch.nn.UpsamplingBilinear2d(scale_factor=2)(
+        torch.from_numpy(xn).permute(0, 3, 1, 2)
+    ).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+def test_transunet_resnet_skip_grid():
+    """Skips land on the exact /2, /4, /8 grids (zero-pad fix)."""
+    from deformablelka_tpu.models.transunet import ResNetV2
+    m = ResNetV2(block_units=(1, 1, 1))
+    x = jnp.zeros((1, 224, 224, 3))
+    v = m.init(jax.random.PRNGKey(0), x)
+    feat, skips = m.apply(v, x)
+    assert feat.shape == (1, 14, 14, 1024)
+    assert [s.shape[1] for s in skips] == [28, 56, 112]
+    assert [s.shape[-1] for s in skips] == [512, 256, 64]
+
+
+def test_hiformer_shapes():
+    from deformablelka_tpu.models.hiformer import HiFormer
+    m = HiFormer(num_classes=1, img_size=224, swin_dims=(16, 32, 64),
+                 cnn_dims=(8, 16, 32), cnn_blocks=(1, 1, 1),
+                 swin_depths=(1, 1, 1), swin_heads=(2, 2, 4),
+                 dlf_heads=(2, 2))
+    x = jnp.zeros((1, 224, 224, 3))
+    v = m.init(jax.random.PRNGKey(0), x)
+    assert m.apply(v, x).shape == (1, 224, 224, 1)
+
+
+def test_hiformer_cross_attention_returns_cls():
+    from deformablelka_tpu.models.hiformer import CrossAttentionBlock
+    m = CrossAttentionBlock(dim=16, num_heads=2)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 10, 16),
+                    jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(v, x)
+    assert out.shape == (2, 1, 16)
