@@ -27,3 +27,9 @@ from deformablelka_tpu.models.mvit import MViT4Out, MViTLKAFormer
 from deformablelka_tpu.models.dae_lka import DAELKAFormer
 from deformablelka_tpu.models.transunet import TransUNet
 from deformablelka_tpu.models.hiformer import HiFormer
+from deformablelka_tpu.models.stvit import (
+    STViT4Out,
+    STVitLKA,
+    SemanticSTViT,
+)
+from deformablelka_tpu.models.biformer import BiFormer3Out, BiDAEFormer

@@ -104,3 +104,63 @@ def test_hiformer_cross_attention_returns_cls():
     v = m.init(jax.random.PRNGKey(0), x)
     out = m.apply(v, x)
     assert out.shape == (2, 1, 16)
+
+
+def test_stvit_unfold_and_amaxpool_match_torch():
+    torch = pytest.importorskip("torch")
+    from deformablelka_tpu.models.stvit import (
+        extract_patches, adaptive_max_pool)
+    xn = np.random.RandomState(0).randn(2, 14, 14, 5).astype(np.float32)
+    ours = np.asarray(extract_patches(jnp.asarray(xn), 14, 7, 3, 4))
+    xt = torch.from_numpy(xn).permute(0, 3, 1, 2)
+    xt = torch.nn.functional.pad(xt, (3, 4, 3, 4))
+    un = torch.nn.functional.unfold(xt, kernel_size=14, stride=7)
+    un = un.view(2, 5, 14, 14, -1).permute(0, 4, 2, 3, 1)
+    un = un.reshape(2, -1, 196, 5).numpy()
+    np.testing.assert_allclose(ours, un, atol=0)
+    p_ours = np.asarray(adaptive_max_pool(jnp.asarray(xn), 3))
+    p_torch = torch.nn.functional.adaptive_max_pool2d(
+        torch.from_numpy(xn).permute(0, 3, 1, 2), (3, 3)
+    ).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(p_ours, p_torch, atol=0)
+
+
+def test_stvit_lka_shapes():
+    from deformablelka_tpu.models.stvit import STVitLKA
+    m = STVitLKA(num_classes=9, embed_dim=16, depths=(1, 1, 6, 1),
+                 num_heads=(2, 2, 2, 2))
+    x = jnp.zeros((1, 224, 224, 1))
+    v = m.init(jax.random.PRNGKey(0), x)
+    assert m.apply(v, x).shape == (1, 224, 224, 9)
+
+
+def test_semantic_stvit_shapes():
+    from deformablelka_tpu.models.stvit import SemanticSTViT
+    m = SemanticSTViT(num_classes=4, embed_dim=16,
+                      depths=(1, 1, 6, 1, 6, 1, 1),
+                      num_heads=(2, 2, 2, 2, 2, 2, 2))
+    x = jnp.zeros((1, 224, 224, 1))
+    v = m.init(jax.random.PRNGKey(0), x)
+    assert m.apply(v, x).shape == (1, 224, 224, 4)
+
+
+def test_bidaeformer_shapes():
+    from deformablelka_tpu.models.biformer import BiDAEFormer
+    m = BiDAEFormer(num_classes=9, dims=(32, 64, 128), depths=(1, 2, 1))
+    x = jnp.zeros((1, 224, 224, 1))
+    v = m.init(jax.random.PRNGKey(0), x)
+    assert m.apply(v, x).shape == (1, 224, 224, 9)
+
+
+def test_bra_routing_selects_windows():
+    """topk == all windows -> routing attention == attending to the full
+    map (order-invariant by softmax); check output is finite and the
+    gather indexes valid windows."""
+    from deformablelka_tpu.models.biformer import BiLevelRoutingAttention
+    att = BiLevelRoutingAttention(dim=16, num_heads=2, n_win=4, topk=16)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 16, 16, 16),
+                    jnp.float32)
+    v = att.init(jax.random.PRNGKey(1), x)
+    out = att.apply(v, x)
+    assert out.shape == (2, 16, 16, 16)
+    assert bool(jnp.isfinite(out).all())
