@@ -23,6 +23,9 @@ def main(argv=None):
     ap.add_argument("--is_savenii", action="store_true")
     ap.add_argument("--test_save_dir", default="./predictions")
     ap.add_argument("--no_deform", action="store_true")
+    ap.add_argument("--model", default=None,
+                    help="registry name of the ablation model the "
+                         "checkpoint was trained with (models/registry)")
     args = ap.parse_args(argv)
 
     from pathlib import Path
@@ -36,9 +39,14 @@ def main(argv=None):
     from deformablelka_tpu.inference.predictor2d import Predictor2D
     from deformablelka_tpu.training.checkpoint import CheckpointManager
 
-    model = MaxViTDeformableLKAFormer(
-        num_classes=args.num_classes, img_size=args.img_size,
-        deformable=not args.no_deform)
+    if args.model:
+        from deformablelka_tpu.models.registry import build_model_2d
+        model = build_model_2d(args.model, num_classes=args.num_classes,
+                               img_size=args.img_size)
+    else:
+        model = MaxViTDeformableLKAFormer(
+            num_classes=args.num_classes, img_size=args.img_size,
+            deformable=not args.no_deform)
     x0 = jnp.zeros((1, args.img_size, args.img_size, 1), jnp.float32)
     template = jax.jit(model.init)(jax.random.PRNGKey(0), x0)
     mgr = CheckpointManager(Path(args.output_dir) / "ckpt")

@@ -22,6 +22,9 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=1234)
     ap.add_argument("--no_deform", action="store_true",
                     help="LKA baseline decoder")
+    ap.add_argument("--model", default=None,
+                    help="skin baseline from models/registry "
+                         "(transunet, hiformer, swinunet, ...)")
     args = ap.parse_args(argv)
 
     from deformablelka_tpu.data.skin import ISICLoader
@@ -32,9 +35,14 @@ def main(argv=None):
     train_loader = ISICLoader(args.root_path, "train",
                               batch_size=args.batch_size, seed=args.seed)
     val_loader = ISICLoader(args.root_path, "val", batch_size=1)
-    model = MaxViTDeformableLKAFormer(num_classes=1,
-                                      img_size=args.img_size,
-                                      deformable=not args.no_deform)
+    if args.model:
+        from deformablelka_tpu.models.registry import build_model_2d
+        model = build_model_2d(args.model, num_classes=1,
+                               img_size=args.img_size)
+    else:
+        model = MaxViTDeformableLKAFormer(num_classes=1,
+                                          img_size=args.img_size,
+                                          deformable=not args.no_deform)
     trainer = TrainerSkin(model, args.output_dir, base_lr=args.base_lr,
                           max_epochs=args.max_epochs, seed=args.seed)
     trainer.run_training(train_loader, val_loader)

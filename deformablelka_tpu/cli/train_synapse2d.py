@@ -30,6 +30,12 @@ def main(argv=None):
     ap.add_argument("--eval_interval", type=int, default=20)
     ap.add_argument("--no_deform", action="store_true",
                     help="train the LKA baseline decoder")
+    ap.add_argument("--model", default=None,
+                    help="registry name of an ablation model to train "
+                         "instead of the MaxViT D-LKA flagship (see "
+                         "models/registry.py: daeformer, dae_lka, "
+                         "mvit_lka, dat_lka, stvit_lka, semantic_stvit, "
+                         "bidaeformer, swinunet, segformer, ...)")
     ap.add_argument("--pretrained_backbone", default=None,
                     help="torch MaxViT .pth to warm-start the encoder")
     args = ap.parse_args(argv)
@@ -50,9 +56,14 @@ def main(argv=None):
                           img_size=args.img_size, seed=args.seed,
                           num_classes=args.num_classes)
     loader = SynapseLoader2D(ds, args.batch_size)
-    model = MaxViTDeformableLKAFormer(
-        num_classes=args.num_classes, img_size=args.img_size,
-        deformable=not args.no_deform, deterministic=True)
+    if args.model:
+        from deformablelka_tpu.models.registry import build_model_2d
+        model = build_model_2d(args.model, num_classes=args.num_classes,
+                               img_size=args.img_size)
+    else:
+        model = MaxViTDeformableLKAFormer(
+            num_classes=args.num_classes, img_size=args.img_size,
+            deformable=not args.no_deform, deterministic=True)
 
     eval_hook = None
     if args.volume_path:

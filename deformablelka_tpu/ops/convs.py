@@ -96,6 +96,56 @@ def _conv3d_im2col(x, w, padding, bias):
     return out
 
 
+def _conv3d_s2d(x, w, bias):
+    """Dense 3³ stride-1 conv via space-to-depth: exact reformulation as
+    a half-resolution 3³ conv with 8×C channels.
+
+    The TPU conv emitter wastes 7/8 of the MXU lanes at the model's
+    full-resolution widths (C=1..32, lane width 128). Folding a 2³ cell
+    into channels gives C'=8C in/out — 8× the nominal FLOPs but on full
+    lanes, which wins whenever the original conv is lane-bound (the
+    flagship's full-res UnetResBlock: C_in 1/16, 64×128×128 maps).
+    The scattered kernel W'[q+1, (e,c), (d,o)] = w[k, c, o] with
+    d + k - 1 = 2q + e per axis is exact incl. zero same-padding
+    (out-of-range taps land in the coarse zero-pad ring).
+    Requires even D/H/W; kernel 3³, stride 1, dilation 1, groups 1.
+    """
+    B, D, H, W, C = x.shape
+    Co = w.shape[-1]
+    Dc, Hc, Wc = D // 2, H // 2, W // 2
+    X = x.reshape(B, Dc, 2, Hc, 2, Wc, 2, C)
+    X = X.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(B, Dc, Hc, Wc, 8 * C)
+    w = w.astype(x.dtype)
+    # W2[(qz,qy,qx), (ez,ey,ex,c), (dz,dy,dx,o)]
+    W2 = jnp.zeros((3, 3, 3, 8 * C, 8 * Co), x.dtype)
+    for dz in range(2):
+        for dy in range(2):
+            for dx in range(2):
+                d_idx = (dz * 2 + dy) * 2 + dx
+                for kz in range(3):
+                    for ky in range(3):
+                        for kx in range(3):
+                            tz, ty, tx = dz + kz - 1, dy + ky - 1, \
+                                dx + kx - 1
+                            qz, ez = tz >> 1, tz & 1
+                            qy, ey = ty >> 1, ty & 1
+                            qx, ex = tx >> 1, tx & 1
+                            e_idx = (ez * 2 + ey) * 2 + ex
+                            W2 = W2.at[
+                                qz + 1, qy + 1, qx + 1,
+                                e_idx * C:(e_idx + 1) * C,
+                                d_idx * Co:(d_idx + 1) * Co,
+                            ].set(w[kz, ky, kx])
+    Y = lax.conv_general_dilated(
+        X, W2, (1, 1, 1), ((1, 1), (1, 1), (1, 1)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    y = Y.reshape(B, Dc, Hc, Wc, 2, 2, 2, Co)
+    y = y.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(B, D, H, W, Co)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
 def conv3d(x, w, *, stride=1, padding="same", dilation=1, groups: int = 1,
            bias=None, precision=None):
     """3D conv, x: (B, D, H, W, Cin), w: (kd, kh, kw, Cin//groups, Cout)."""
@@ -109,9 +159,16 @@ def conv3d(x, w, *, stride=1, padding="same", dilation=1, groups: int = 1,
         padding = [(p, p) for p in padding]
     import os
     if (w.shape[:3] == (3, 3, 3) and st == (1, 1, 1) and dil == (1, 1, 1)
-            and groups == 1 and tuple(padding) == ((1, 1),) * 3
-            and os.environ.get("DLKA_CONV_IMPL", "lax") == "im2col"):
-        return _conv3d_im2col(x, w, padding, bias)
+            and groups == 1 and tuple(padding) == ((1, 1),) * 3):
+        impl = os.environ.get("DLKA_CONV_IMPL", "auto")
+        if impl == "im2col":
+            return _conv3d_im2col(x, w, padding, bias)
+        small_c = x.shape[-1] <= 32 and w.shape[-1] <= 32
+        big_spatial = x.shape[1] * x.shape[2] * x.shape[3] >= (1 << 17)
+        even = all(s % 2 == 0 for s in x.shape[1:4])
+        if (impl == "s2d" or (impl == "auto" and small_c and big_spatial)) \
+                and even:
+            return _conv3d_s2d(x, w, bias)
     out = lax.conv_general_dilated(
         x, w.astype(x.dtype), window_strides=st, padding=padding,
         rhs_dilation=dil, feature_group_count=groups,

@@ -164,3 +164,27 @@ def test_bra_routing_selects_windows():
     out = att.apply(v, x)
     assert out.shape == (2, 16, 16, 16)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_registry_builds_all_models():
+    from deformablelka_tpu.models.registry import MODELS_2D, build_model_2d
+    assert len(MODELS_2D) == 13
+    for name in MODELS_2D:
+        m = build_model_2d(name, num_classes=9, img_size=224)
+        assert m is not None
+    with pytest.raises(ValueError):
+        build_model_2d("nope")
+
+
+def test_s2d_conv_matches_lax():
+    from deformablelka_tpu.ops.convs import _conv3d_s2d
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(2, 8, 12, 10, 5), jnp.float32)
+    w = jnp.asarray(rs.randn(3, 3, 3, 5, 7), jnp.float32)
+    b = jnp.asarray(rs.randn(7), jnp.float32)
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1, 1), ((1, 1),) * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + b
+    got = _conv3d_s2d(x, w, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4)
