@@ -8,12 +8,15 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def bench(name, fn, *args, reps=5):
-    f = jax.jit(fn)
-    out = f(*args); jax.tree.map(lambda a: a.block_until_ready(), out)
+    # NOTE: on the tunneled axon backend block_until_ready is a no-op;
+    # only a host fetch synchronises — reduce to a scalar and fetch it.
+    f = jax.jit(lambda *a: jax.tree.reduce(
+        lambda acc, t: acc + jnp.sum(t.astype(jnp.float32)), fn(*a), 0.0))
+    np.asarray(f(*args))
     t0 = time.time()
     for _ in range(reps):
         out = f(*args)
-    jax.tree.map(lambda a: a.block_until_ready(), out)
+    np.asarray(out)
     print(f"{name}: {(time.time()-t0)/reps*1000:.0f} ms", flush=True)
 
 

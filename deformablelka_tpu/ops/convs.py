@@ -158,6 +158,19 @@ def conv3d(x, w, *, stride=1, padding="same", dilation=1, groups: int = 1,
     elif isinstance(padding, (tuple, list)) and padding and isinstance(padding[0], int):
         padding = [(p, p) for p in padding]
     import os
+    k = w.shape[0]
+    if (dil[0] > 1 and dil == (dil[0],) * 3 and st == (1, 1, 1)
+            and groups == x.shape[-1] and w.shape[3] == 1
+            and w.shape[:3] == (k, k, k) and k % 2 == 1
+            and tuple(padding) == ((dil[0] * (k // 2),) * 2,) * 3
+            and os.environ.get("DLKA_DWCONV_IMPL", "lax") == "zdecomp"):
+        # dilated depthwise with 'same' extent -> per-z-tap 2D convs.
+        # 9× faster ISOLATED (85→9 ms at 32×64×64 C=32) but 2× slower
+        # in the full flagship forward (580→1187 ms): the 7 per-tap
+        # conv outputs materialize in HBM where the single dilated conv
+        # writes once — isolated-op wins do not compose here (same
+        # story as im2col). Opt-in via DLKA_DWCONV_IMPL=zdecomp.
+        return _depthwise3d_zdecomp(x, w, dil[0], bias)
     if (w.shape[:3] == (3, 3, 3) and st == (1, 1, 1) and dil == (1, 1, 1)
             and groups == 1 and tuple(padding) == ((1, 1),) * 3):
         impl = os.environ.get("DLKA_CONV_IMPL", "auto")
@@ -184,8 +197,42 @@ def depthwise_conv2d(x, w, *, stride=1, padding="same", dilation=1, bias=None):
                   groups=x.shape[-1], bias=bias)
 
 
+def _depthwise3d_zdecomp(x, w, dilation: int, bias):
+    """Dilated 3D depthwise conv as k_z dilated **2D** depthwise convs
+    (batched over the depth axis) summed across z-shifted slices.
+
+    The TPU emitter handles 3D *dilated* depthwise convs very poorly
+    (7³ dilation-3 at 32×64×64 C=32: **85 ms**) while its 2D dilated
+    depthwise path is fine (7×7 dil-3 over the same voxels: 7.4 ms);
+    decomposing over the z taps runs in **9.1 ms** — 9.3×. Exact for
+    'same' (zero) padding: the z padding ring supplies the out-of-range
+    z taps, the 2D conv handles the in-plane ones.
+    """
+    B, D, H, W, C = x.shape
+    k = w.shape[0]
+    d = dilation
+    w = w.astype(x.dtype)
+    pz = d * (k // 2)
+    pp = d * (w.shape[1] // 2)
+    xp = jnp.pad(x, ((0, 0), (pz, pz), (0, 0), (0, 0), (0, 0)))
+    out = None
+    for m in range(k):
+        xs = lax.slice_in_dim(xp, m * d, m * d + D, axis=1)
+        y = lax.conv_general_dilated(
+            xs.reshape(B * D, H, W, C), w[m], (1, 1),
+            ((pp, pp), (pp, pp)), rhs_dilation=(d, d),
+            feature_group_count=C,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        out = y if out is None else out + y
+    out = out.reshape(B, D, H, W, C)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
 def depthwise_conv3d(x, w, *, stride=1, padding="same", dilation=1, bias=None):
-    """Depthwise 3D conv; w: (kd, kh, kw, 1, C)."""
+    """Depthwise 3D conv; w: (kd, kh, kw, 1, C). Dilated 'same' convs
+    dispatch to the polyphase path inside conv3d."""
     return conv3d(x, w, stride=stride, padding=padding, dilation=dilation,
                   groups=x.shape[-1], bias=bias)
 

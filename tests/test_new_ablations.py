@@ -188,3 +188,26 @@ def test_s2d_conv_matches_lax():
     got = _conv3d_s2d(x, w, b)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-4)
+
+
+def test_zdecomp_dilated_depthwise_matches_lax():
+    from deformablelka_tpu.ops.convs import (
+        _depthwise3d_zdecomp, conv3d, same_padding)
+    rs = np.random.RandomState(0)
+    for shape, k, d in [((2, 10, 11, 13, 6), 7, 3), ((1, 9, 9, 9, 4), 5, 2)]:
+        x = jnp.asarray(rs.randn(*shape), jnp.float32)
+        w = jnp.asarray(rs.randn(k, k, k, 1, shape[-1]), jnp.float32)
+        b = jnp.asarray(rs.randn(shape[-1]), jnp.float32)
+        pad = same_padding((k, k, k), (1, 1, 1), (d, d, d), ndim=3)
+        ref = jax.lax.conv_general_dilated(
+            x, w, (1, 1, 1), pad, rhs_dilation=(d, d, d),
+            feature_group_count=shape[-1],
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + b
+        got = _depthwise3d_zdecomp(x, w, d, b)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-4)
+        # through the conv3d dispatcher (the model call-site path)
+        got2 = conv3d(x, w, padding=d * (k // 2), dilation=d,
+                      groups=shape[-1], bias=b)
+        np.testing.assert_allclose(np.asarray(got2), np.asarray(ref),
+                                   atol=1e-4)
