@@ -244,7 +244,10 @@ class SlidingWindowInference:
 
             return jax.jit(run)
 
-        from jax.experimental.shard_map import shard_map
+        try:
+            from jax import shard_map  # jax >= 0.8
+        except ImportError:  # pragma: no cover - older jax
+            from jax.experimental.shard_map import shard_map
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         mesh, axis = self.mesh, self.mesh_axis

@@ -211,3 +211,71 @@ def test_zdecomp_dilated_depthwise_matches_lax():
                       groups=shape[-1], bias=b)
         np.testing.assert_allclose(np.asarray(got2), np.asarray(ref),
                                    atol=1e-4)
+
+
+def test_lka_spatial_attention_golden_vs_torch():
+    """Module-level golden activation parity (SURVEY §4 item 2): the core
+    LKA gate (2D/deformable_LKA/LKA.py:4-37) retyped in torch with random
+    weights vs our flax SpatialAttention with the same weights."""
+    torch = pytest.importorskip("torch")
+    import torch.nn as tnn
+    from deformablelka_tpu.nn.lka2d import SpatialAttention
+
+    dim = 12
+
+    class TorchLKA(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv0 = tnn.Conv2d(dim, dim, 5, padding=2, groups=dim)
+            self.conv_spatial = tnn.Conv2d(dim, dim, 7, stride=1,
+                                           padding=9, groups=dim,
+                                           dilation=3)
+            self.conv1 = tnn.Conv2d(dim, dim, 1)
+
+        def forward(self, x):
+            u = x.clone()
+            a = self.conv1(self.conv_spatial(self.conv0(x)))
+            return u * a
+
+    class TorchSpatial(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.proj_1 = tnn.Conv2d(dim, dim, 1)
+            self.activation = tnn.GELU()
+            self.spatial_gating_unit = TorchLKA()
+            self.proj_2 = tnn.Conv2d(dim, dim, 1)
+
+        def forward(self, x):
+            s = x.clone()
+            x = self.spatial_gating_unit(self.activation(self.proj_1(x)))
+            return self.proj_2(x) + s
+
+    tm = TorchSpatial().eval()
+    xn = np.random.RandomState(0).randn(2, dim, 17, 19).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(xn)).numpy()
+
+    def cw(conv):  # torch (O,I/g,kh,kw) -> ours (kh,kw,I/g,O)
+        return jnp.asarray(conv.weight.detach().numpy()
+                           .transpose(2, 3, 1, 0))
+
+    def cb(conv):
+        return jnp.asarray(conv.bias.detach().numpy())
+
+    params = {
+        "proj_1": {"weight": cw(tm.proj_1), "bias": cb(tm.proj_1)},
+        "proj_2": {"weight": cw(tm.proj_2), "bias": cb(tm.proj_2)},
+        "spatial_gating_unit": {
+            "conv0": {"weight": cw(tm.spatial_gating_unit.conv0),
+                      "bias": cb(tm.spatial_gating_unit.conv0)},
+            "conv_spatial": {
+                "weight": cw(tm.spatial_gating_unit.conv_spatial),
+                "bias": cb(tm.spatial_gating_unit.conv_spatial)},
+            "conv1": {"weight": cw(tm.spatial_gating_unit.conv1),
+                      "bias": cb(tm.spatial_gating_unit.conv1)},
+        },
+    }
+    ours = SpatialAttention().apply(
+        {"params": params}, jnp.asarray(xn.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(ours).transpose(0, 3, 1, 2),
+                               ref, atol=2e-4)
