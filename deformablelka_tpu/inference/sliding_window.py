@@ -260,11 +260,14 @@ class SlidingWindowInference:
                 den = lax.psum(den, axis)
                 return num / den[..., None]
 
-            return shard_map(
-                device_fn, mesh=mesh,
-                in_specs=(P(), P(), P(axis), P(axis), P()),
-                out_specs=P(),
-                check_rep=False)(params, data, origins, weights, gauss)
+            specs = dict(mesh=mesh,
+                         in_specs=(P(), P(), P(axis), P(axis), P()),
+                         out_specs=P())
+            try:  # jax >= 0.8 names the replication check check_vma
+                sm = shard_map(device_fn, check_vma=False, **specs)
+            except TypeError:  # pragma: no cover - older jax
+                sm = shard_map(device_fn, check_rep=False, **specs)
+            return sm(params, data, origins, weights, gauss)
 
         return jax.jit(run)
 
