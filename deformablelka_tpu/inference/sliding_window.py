@@ -103,15 +103,18 @@ def _flip_flags(tile, flags, spatial_axes):
     return tile
 
 
-def _mirror_tta_softmax(apply_fn, params, tile, mirror_axes, do_mirroring):
+def _mirror_tta_softmax(apply_fn, params, tile, mirror_axes, do_mirroring,
+                        tta_batch: int = 1):
     """Average softmax over flip combinations. tile: (1, *spatial, C).
 
     TPU-first: the 2^k flip combinations run as a `lax.scan` with the
-    flip pattern as data — the model appears ONCE in the compiled graph
-    at batch 1, keeping peak activation memory at 1/2^k of a batched-TTA
-    forward (a batch-8 64×128×128 forward OOMs a 16 GB chip once the
-    full-volume accumulators are resident). The reference runs the same 8
-    passes eagerly (neural_network.py:502-557).
+    flip pattern as data — the model appears ONCE in the compiled graph,
+    at batch `tta_batch` (default 1), keeping peak activation memory at
+    tta_batch/2^k of a fully batched-TTA forward (a batch-8 64×128×128
+    forward OOMs a 16 GB chip once the full-volume accumulators are
+    resident; batch 2-4 amortises per-op overhead when memory allows).
+    The reference runs the same 8 passes eagerly
+    (neural_network.py:502-557).
     """
     ndim = tile.ndim - 2
     spatial_axes = tuple(range(1, 1 + ndim))
@@ -126,29 +129,32 @@ def _mirror_tta_softmax(apply_fn, params, tile, mirror_axes, do_mirroring):
     for i, combo in enumerate(combos):
         for a in combo:
             flags[i, a] = True
-    flags = jnp.asarray(flags)
 
-    if len(combos) == 1:
-        logits = apply_fn(params, tile)
+    def head(logits):
         if isinstance(logits, (list, tuple)):
             logits = logits[0]
         return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
-    def body(acc, f):
-        t = _flip_flags(tile, f, spatial_axes)
-        logits = apply_fn(params, t)
-        if isinstance(logits, (list, tuple)):
-            logits = logits[0]
-        prob = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-        prob = _flip_flags(prob, f, spatial_axes)
-        return acc + prob, None
+    if len(combos) == 1:
+        return head(apply_fn(params, tile))
 
-    out_shape = jax.eval_shape(
-        lambda p, t: apply_fn(p, t)[0] if isinstance(
-            apply_fn(p, t), (list, tuple)) else apply_fn(p, t),
-        params, tile).shape
-    acc, _ = lax.scan(body, jnp.zeros(out_shape, jnp.float32), flags)
-    return acc / len(combos)
+    b = max(1, min(int(tta_batch), len(combos)))
+    while len(combos) % b:
+        b -= 1
+    flags = jnp.asarray(flags.reshape(len(combos) // b, b, ndim))
+    sample_axes = tuple(a - 1 for a in spatial_axes)
+    flip_one = lambda f, t: _flip_flags(t, f, sample_axes)
+
+    def body(acc, f):  # f: (b, ndim)
+        t = jax.vmap(flip_one, in_axes=(0, None))(f, tile[0])
+        prob = head(apply_fn(params, t))
+        prob = jax.vmap(flip_one)(f, prob)
+        return acc + prob.sum(axis=0), None
+
+    acc_shape = jax.eval_shape(
+        lambda p, t: head(apply_fn(p, t)), params, tile).shape[1:]
+    acc, _ = lax.scan(body, jnp.zeros(acc_shape, jnp.float32), flags)
+    return (acc / len(combos))[None]
 
 
 class SlidingWindowInference:
@@ -167,7 +173,8 @@ class SlidingWindowInference:
     def __init__(self, apply_fn: Callable, patch_size, num_classes: int,
                  step_size: float = 0.5, do_mirroring: bool = True,
                  mirror_axes=(0, 1, 2), use_gaussian: bool = True,
-                 tile_batch: int = 1, grid_mode: str = "nnunet",
+                 tile_batch: int = 1, tta_batch: int = 1,
+                 grid_mode: str = "nnunet",
                  stride_xy: int = 16, stride_z: int = 16, mesh=None,
                  mesh_axis: str = "data"):
         self.apply_fn = apply_fn
@@ -178,6 +185,9 @@ class SlidingWindowInference:
         self.mirror_axes = tuple(mirror_axes)
         self.use_gaussian = use_gaussian
         self.tile_batch = tile_batch
+        # forwards per TTA scan step (1 = memory-light; 2-4 amortise
+        # per-op overhead when HBM allows)
+        self.tta_batch = tta_batch
         # "nnunet": evenly-spaced overlap grid + Gaussian blending
         # (neural_network.py:267-290); "stride": pancreas protocol —
         # fixed stride, clamped at the border, count blending
@@ -223,7 +233,7 @@ class SlidingWindowInference:
                     (*patch, data.shape[-1]))[None]
                 prob = _mirror_tta_softmax(
                     self.apply_fn, params, tile, self.mirror_axes,
-                    self.do_mirroring)[0]
+                    self.do_mirroring, self.tta_batch)[0]
                 prob = prob * gaussian * w
                 cur = lax.dynamic_slice(num, (o[0], o[1], o[2], 0),
                                         (*patch, ncls))
@@ -328,7 +338,8 @@ class SlidingWindowInference:
                     (*patch, data.shape[-1]))[None]
                 return _mirror_tta_softmax(self.apply_fn, params, tile,
                                            self.mirror_axes,
-                                           self.do_mirroring)[0]
+                                           self.do_mirroring,
+                                           self.tta_batch)[0]
 
             def acc_fn(num, den, prob, gauss, origin):
                 prob = prob * gauss[..., None]

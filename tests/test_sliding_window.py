@@ -169,3 +169,25 @@ def test_host_loop_matches_scan_mode():
     sw_s.loop_mode = "scan"
     out_s = sw_s.predict(variables, vol)
     np.testing.assert_allclose(out_h, out_s, rtol=1e-5, atol=1e-6)
+
+
+def test_tta_batch_parity():
+    """tta_batch=2/4/8 must reproduce tta_batch=1 exactly (the flips are
+    just grouped into batched forwards); a non-equivariant model makes
+    the check meaningful."""
+    ncls = 3
+
+    def apply_fn(params, x):
+        # breaks flip symmetry via a position-dependent ramp
+        B = x.shape[0]
+        r = jnp.arange(x.shape[1], dtype=x.dtype).reshape(1, -1, 1, 1, 1)
+        base = x * (1.0 + 0.1 * r)
+        return jnp.concatenate([base, -base, 0.5 * base], axis=-1)
+
+    vol = np.random.RandomState(3).randn(12, 10, 10, 1).astype(np.float32)
+    ref = SlidingWindowInference(apply_fn, (8, 8, 8), ncls,
+                                 tta_batch=1).predict({}, vol)
+    for tb in (2, 4, 8, 3):
+        got = SlidingWindowInference(apply_fn, (8, 8, 8), ncls,
+                                     tta_batch=tb).predict({}, vol)
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
