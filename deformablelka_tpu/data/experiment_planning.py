@@ -93,19 +93,56 @@ class DatasetAnalyzer:
 
 
 class ExperimentPlanner:
-    """Target-spacing / patch / batch heuristics (plan_experiment)."""
+    """Target-spacing / patch / batch heuristics (plan_experiment).
 
-    def __init__(self, fingerprint: dict):
+    The reference ships ~12 alternative planners
+    (alternative_experiment_planning/: v21_{11,16,32}GB memory budgets,
+    3convperstage, residual, CT2/nonCT/RGB normalization overrides,
+    isotropic patch, poolBasedOnSpacing, targetSpacingForAnisoAxis /
+    custom / noResampling). Those map here to constructor knobs; the
+    named presets live in PLANNER_VARIANTS.
+    """
+
+    def __init__(self, fingerprint: dict, *,
+                 target_spacing_mode: str = "aniso10pct",
+                 custom_target_spacing=None,
+                 normalization_override: str | None = None,
+                 pool_based_on_spacing: bool = False,
+                 conv_per_stage: int = 2,
+                 residual: bool = False,
+                 memory_budget_scale: float = 1.0):
         self.fp = fingerprint
+        self.target_spacing_mode = target_spacing_mode
+        self.custom_target_spacing = custom_target_spacing
+        self.normalization_override = normalization_override
+        self.pool_based_on_spacing = pool_based_on_spacing
+        self.conv_per_stage = conv_per_stage
+        self.residual = residual
+        self.memory_budget_scale = memory_budget_scale
+
+    def _target_spacing(self, spacings: np.ndarray) -> np.ndarray:
+        mode = self.target_spacing_mode
+        if mode == "custom":
+            return np.asarray(self.custom_target_spacing, float)
+        if mode == "none":  # noResampling: keep the median voxel grid
+            return np.median(spacings, axis=0)
+        if mode == "iso_mm":  # isotropic_in_mm: global median, all axes
+            return np.full(3, float(np.median(spacings)))
+        target = np.median(spacings, axis=0)
+        if mode == "aniso10pct" and (
+                target.max() / target.min() > ANISO_THRESHOLD):
+            # targetSpacingForAnisoAxis: low-res axis → 10th percentile
+            lowres_axis = int(np.argmax(target))
+            target[lowres_axis] = np.percentile(
+                spacings[:, lowres_axis], 10)
+        return target
 
     def plan(self, max_patch_voxels: int = 64 * 128 * 128,
              default_batch: int = 2) -> dict:
         spacings = np.asarray(self.fp["spacings"], float)
         shapes = np.asarray(self.fp["shapes"], float)
-        target = np.median(spacings, axis=0)
-        if target.max() / target.min() > ANISO_THRESHOLD:
-            lowres_axis = int(np.argmax(target))
-            target[lowres_axis] = np.percentile(spacings[:, lowres_axis], 10)
+        max_patch_voxels = int(max_patch_voxels * self.memory_budget_scale)
+        target = self._target_spacing(spacings)
         new_shapes = shapes * spacings / target
         median_shape = np.median(new_shapes, axis=0)
         # patch: shrink the largest axes until under budget, then round to
@@ -117,8 +154,24 @@ class ExperimentPlanner:
         patch = np.maximum((np.round(patch / mults)).astype(int), 1) * mults
         patch = np.maximum(patch, mults)
         modalities = self.fp["modalities"]
-        schemes = {int(k): ("CT" if str(v).upper() == "CT" else "nonCT")
-                   for k, v in modalities.items()}
+        if self.normalization_override is not None:
+            schemes = {int(k): self.normalization_override
+                       for k in modalities}
+        else:
+            schemes = {int(k): ("CT" if str(v).upper() == "CT"
+                                else "nonCT")
+                       for k, v in modalities.items()}
+        pools = [[2, 2, 2]] * 3
+        if self.pool_based_on_spacing:
+            # poolBasedOnSpacing: only pool axes whose spacing is within
+            # 2× of the finest axis at that level (coarse axes pool late)
+            pools = []
+            sp = target.copy()
+            for _ in range(3):
+                step = [2 if sp[a] <= 2 * sp.min() else 1
+                        for a in range(3)]
+                pools.append(step)
+                sp = sp * np.asarray(step, float)
         plans = {
             "num_classes": len(self.fp["all_classes"]),
             "all_classes": self.fp["all_classes"],
@@ -136,14 +189,48 @@ class ExperimentPlanner:
                 "current_spacing": [float(v) for v in target],
                 "original_spacing": [float(v) for v in
                                      np.median(spacings, 0)],
-                "pool_op_kernel_sizes": [[2, 2, 2]] * 3,
+                "pool_op_kernel_sizes": pools,
             }},
+            "conv_per_stage": self.conv_per_stage,
+            "residual": self.residual,
         }
         return plans
 
 
+# Named presets mirroring alternative_experiment_planning/ (planner
+# constructor kwargs; memory scales are the fp16 budget ratios of the
+# reference's 11/16/32 GB planners vs the 8 GB baseline).
+PLANNER_VARIANTS: dict = {
+    "baseline": {},
+    "v21_11GB": {"memory_budget_scale": 11 / 8},
+    "v21_16GB": {"memory_budget_scale": 2.0},
+    "v21_32GB": {"memory_budget_scale": 4.0},
+    "3convperstage": {"conv_per_stage": 3},
+    "residual": {"residual": True},
+    "CT2": {"normalization_override": "CT2"},
+    "nonCT": {"normalization_override": "nonCT"},
+    "RGB_scaleto_0_1": {"normalization_override": "rgb01"},
+    "noNorm": {"normalization_override": "noNorm"},
+    "isotropic_in_mm": {"target_spacing_mode": "iso_mm"},
+    "targetSpacingForAnisoAxis": {"target_spacing_mode": "aniso10pct"},
+    "customTargetSpacing_2x2x2": {"target_spacing_mode": "custom",
+                                  "custom_target_spacing": (2.0, 2.0, 2.0)},
+    "noResampling": {"target_spacing_mode": "none"},
+    "poolBasedOnSpacing": {"pool_based_on_spacing": True},
+}
+
+
+def make_planner(fingerprint: dict, variant: str = "baseline"
+                 ) -> ExperimentPlanner:
+    if variant not in PLANNER_VARIANTS:
+        raise KeyError(f"unknown planner variant {variant!r}; "
+                       f"choose from {sorted(PLANNER_VARIANTS)}")
+    return ExperimentPlanner(fingerprint, **PLANNER_VARIANTS[variant])
+
+
 def plan_and_preprocess(raw_folder: str | Path, out_folder: str | Path,
-                        verify: bool = True) -> dict:
+                        verify: bool = True,
+                        planner: str = "baseline") -> dict:
     """Full pipeline: analyze → plan → preprocess every training case to
     npz (data+seg stacked, nnUNet layout) + properties pkl with
     class_locations."""
@@ -156,7 +243,7 @@ def plan_and_preprocess(raw_folder: str | Path, out_folder: str | Path,
             raise RuntimeError(f"dataset integrity: {problems}")
     analyzer = DatasetAnalyzer(raw_folder)
     fp = analyzer.analyze()
-    plans = ExperimentPlanner(fp).plan()
+    plans = make_planner(fp, planner).plan()
     with open(out_folder / "plans_3D.pkl", "wb") as f:
         pickle.dump(plans, f)
 
@@ -194,8 +281,11 @@ def main(argv=None):
                     help="raw task folder (imagesTr/labelsTr/dataset.json)")
     ap.add_argument("-o", "--output", required=True)
     ap.add_argument("--no_verify", action="store_true")
+    ap.add_argument("-pl", "--planner", default="baseline",
+                    choices=sorted(PLANNER_VARIANTS))
     args = ap.parse_args(argv)
-    plan_and_preprocess(args.task, args.output, verify=not args.no_verify)
+    plan_and_preprocess(args.task, args.output, verify=not args.no_verify,
+                        planner=args.planner)
 
 
 if __name__ == "__main__":

@@ -169,6 +169,18 @@ def ct_normalize(data: np.ndarray, clip_lower: float, clip_upper: float,
     return (data - mean) / max(sd, 1e-8)
 
 
+def ct2_normalize(data: np.ndarray, clip_lower: float,
+                  clip_upper: float) -> np.ndarray:
+    """CT2 scheme (preprocessing.py:287-298): clip to the dataset
+    foreground percentiles, but z-score with the PER-CASE mean/sd of the
+    in-range voxels (alternative_experiment_planning/normalization)."""
+    mask = (data > clip_lower) & (data < clip_upper)
+    data = np.clip(data, clip_lower, clip_upper)
+    mn = data[mask].mean() if mask.any() else data.mean()
+    sd = data[mask].std() if mask.any() else data.std()
+    return (data - mn) / max(sd, 1e-8)
+
+
 def nonct_normalize(data: np.ndarray, seg: Optional[np.ndarray] = None,
                     use_nonzero_mask: bool = False) -> np.ndarray:
     if use_nonzero_mask and seg is not None:
@@ -224,6 +236,16 @@ class GenericPreprocessor:
                 data[c] = ct_normalize(
                     data[c], props["percentile_00_5"],
                     props["percentile_99_5"], props["mean"], props["sd"])
+            elif scheme == "CT2":
+                props = self.intensity_properties[c]
+                data[c] = ct2_normalize(
+                    data[c], props["percentile_00_5"],
+                    props["percentile_99_5"])
+            elif scheme == "noNorm":
+                pass  # PreprocessorFor2D_noNormalization parity
+            elif scheme == "rgb01":
+                # RGB_scaleto_0_1 planner variant: scale 0-255 → 0-1
+                data[c] = data[c] / 255.0
             else:
                 mask_flag = (self.use_nonzero_mask[c]
                              if c < len(self.use_nonzero_mask) else False)

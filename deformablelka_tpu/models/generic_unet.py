@@ -48,13 +48,22 @@ class StackedConvLayers(nn.Module):
     first_stride: Sequence[int] = (1, 1, 1)
     kernel: Sequence[int] = (3, 3, 3)
     n_convs: int = 2
+    residual: bool = False  # residual planner variant: y = convs(x) + proj(x)
 
     @nn.compact
     def __call__(self, x):
+        inp = x
         x = ConvNormLRelu(self.features, self.kernel, self.first_stride,
                           name="block0")(x)
         for i in range(1, self.n_convs):
             x = ConvNormLRelu(self.features, self.kernel, name=f"block{i}")(x)
+        if self.residual:
+            if (inp.shape[-1] != self.features
+                    or any(s != 1 for s in self.first_stride)):
+                inp = nn.Conv(self.features, (1,) * (inp.ndim - 2),
+                              strides=tuple(self.first_stride),
+                              use_bias=False, name="proj")(inp)
+            x = x + inp
         return x
 
 
@@ -69,6 +78,8 @@ class GenericUNet(nn.Module):
     max_features: int = 320
     do_ds: bool = True
     ndim: int = 3
+    conv_per_stage: int = 2   # 3convperstage planner variant
+    residual: bool = False    # residual planner variant
 
     @nn.compact
     def __call__(self, x):
@@ -85,11 +96,16 @@ class GenericUNet(nn.Module):
         for s in range(self.num_pool):
             stride = (1,) * nd if s == 0 else pools[s - 1]
             h = StackedConvLayers(feats[s], first_stride=stride,
-                                  kernel=kernels[s], name=f"down{s}")(h)
+                                  kernel=kernels[s],
+                                  n_convs=self.conv_per_stage,
+                                  residual=self.residual,
+                                  name=f"down{s}")(h)
             skips.append(h)
         h = StackedConvLayers(feats[self.num_pool],
                               first_stride=pools[self.num_pool - 1],
                               kernel=kernels[self.num_pool],
+                              n_convs=self.conv_per_stage,
+                              residual=self.residual,
                               name="bottleneck")(h)
 
         seg_outputs = []
@@ -99,6 +115,8 @@ class GenericUNet(nn.Module):
                                  name=f"up{s}")(h)
             h = jnp.concatenate([h, skips[s]], axis=-1)
             h = StackedConvLayers(feats[s], kernel=kernels[s],
+                                  n_convs=self.conv_per_stage,
+                                  residual=self.residual,
                                   name=f"dec{s}")(h)
             seg_outputs.append(
                 nn.Conv(self.num_classes, (1,) * nd, use_bias=False,
@@ -110,12 +128,18 @@ class GenericUNet(nn.Module):
 
 
 def generic_unet_3d_from_plans(plans_stage: dict, num_classes: int,
-                               do_ds: bool = True) -> GenericUNet:
+                               do_ds: bool = True,
+                               plans: dict | None = None) -> GenericUNet:
     """Build from a plans stage dict (pool_op_kernel_sizes /
-    conv_kernel_sizes lists, default_configuration.py pathway)."""
+    conv_kernel_sizes lists, default_configuration.py pathway). Pass the
+    top-level `plans` to pick up planner-variant knobs
+    (conv_per_stage / residual)."""
     pools = plans_stage.get("pool_op_kernel_sizes")
     kernels = plans_stage.get("conv_kernel_sizes")
     num_pool = len(pools) if pools else 5
+    plans = plans or {}
     return GenericUNet(num_classes=num_classes, num_pool=num_pool,
                        pool_kernel_sizes=pools, conv_kernel_sizes=kernels,
-                       do_ds=do_ds)
+                       do_ds=do_ds,
+                       conv_per_stage=int(plans.get("conv_per_stage", 2)),
+                       residual=bool(plans.get("residual", False)))
