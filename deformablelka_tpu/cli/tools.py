@@ -91,11 +91,66 @@ def copy_decoder_weights(argv=None):
     print(f"copied {len(added)} tensors {args.src} -> {args.dst}")
 
 
+def _load_plans(path: str):
+    import pickle
+    if str(path).endswith(".json"):
+        with open(path) as f:
+            return json.load(f), "json"
+    with open(path, "rb") as f:
+        return pickle.load(f), "pkl"
+
+
+def summarize_plans(argv=None):
+    """Print the key facts of a plans file
+    (experiment_planning/summarize_plans.py): spacing, patch, batch,
+    pools, normalization, classes — per stage."""
+    ap = argparse.ArgumentParser()
+    ap.add_argument("plans", help="plans .pkl (reference or ours) or .json")
+    args = ap.parse_args(argv)
+    plans, _ = _load_plans(args.plans)
+    print(f"num_classes: {plans.get('num_classes')}")
+    print(f"modalities: {plans.get('num_modalities')}")
+    print(f"normalization: {plans.get('normalization_schemes')}")
+    print(f"transpose_forward: {plans.get('transpose_forward')}")
+    for sid, st in sorted(plans.get("plans_per_stage", {}).items()):
+        print(f"stage {sid}:")
+        for k in ("batch_size", "patch_size", "current_spacing",
+                  "original_spacing", "pool_op_kernel_sizes",
+                  "conv_kernel_sizes"):
+            if k in st:
+                print(f"  {k}: {st[k]}")
+
+
+def change_batch_size(argv=None):
+    """Set batch_size in every stage of a plans file
+    (experiment_planning/change_batch_size.py)."""
+    ap = argparse.ArgumentParser()
+    ap.add_argument("input")
+    ap.add_argument("batch_size", type=int)
+    ap.add_argument("-o", "--output", default=None,
+                    help="default: edit in place")
+    args = ap.parse_args(argv)
+    plans, kind = _load_plans(args.input)
+    for st in plans.get("plans_per_stage", {}).values():
+        st["batch_size"] = args.batch_size
+    out = args.output or args.input
+    if kind == "json":
+        with open(out, "w") as f:
+            json.dump(plans, f, indent=2)
+    else:
+        import pickle
+        with open(out, "wb") as f:
+            pickle.dump(plans, f)
+    print(f"batch_size -> {args.batch_size} in {out}")
+
+
 if __name__ == "__main__":
     import sys
     cmd = sys.argv[1] if len(sys.argv) > 1 else ""
     fns = {"rename_keys": rename_keys, "change_plans": change_plans,
-           "copy_decoder_weights": copy_decoder_weights}
+           "copy_decoder_weights": copy_decoder_weights,
+           "summarize_plans": summarize_plans,
+           "change_batch_size": change_batch_size}
     if cmd in fns:
         fns[cmd](sys.argv[2:])
     else:

@@ -102,6 +102,9 @@ class MoreDAAugmenter:
                  scale_range=(0.7, 1.4), p_rot=0.2, p_scale=0.2,
                  do_mirror=True, mirror_axes=(0, 1, 2),
                  gamma_range=(0.7, 1.5),
+                 do_elastic: bool = False, p_elastic: float = 0.2,
+                 elastic_alpha=(0.0, 900.0), elastic_sigma=(9.0, 13.0),
+                 do_intensity: bool = True,
                  deep_supervision_scales: Optional[Sequence] = None,
                  rng: Optional[np.random.RandomState] = None):
         self.final_patch_size = tuple(final_patch_size)
@@ -112,8 +115,52 @@ class MoreDAAugmenter:
         self.do_mirror = do_mirror
         self.mirror_axes = mirror_axes
         self.gamma_range = gamma_range
+        self.do_elastic = do_elastic
+        self.p_elastic = p_elastic
+        self.elastic_alpha = elastic_alpha
+        self.elastic_sigma = elastic_sigma
+        self.do_intensity = do_intensity
         self.ds_scales = deep_supervision_scales
         self.rng = rng or np.random.RandomState(5678)
+
+    def _elastic(self, data, seg):
+        """Elastic deformation (insaneDA pipelines,
+        data_augmentation_insaneDA.py:60-61: SpatialTransform
+        do_elastic_deform with alpha/sigma): affine-free smoothed random
+        displacement field applied with cubic (data) / nearest-valid
+        (seg) interpolation."""
+        rng = self.rng
+        ps = self.final_patch_size
+        ndim = seg.ndim
+        alpha = rng.uniform(*self.elastic_alpha)
+        sigma = rng.uniform(*self.elastic_sigma)
+        start = [(s - p) // 2 for s, p in zip(seg.shape, ps)]
+        grids = np.meshgrid(*[np.arange(st, st + p, dtype=np.float64)
+                              for st, p in zip(start, ps)], indexing="ij")
+        coords = []
+        for g in grids:
+            disp = ndimage.gaussian_filter(
+                rng.uniform(-1, 1, ps), sigma, mode="constant")
+            mx = np.abs(disp).max()
+            if mx > 0:
+                disp = disp / mx * (alpha / 100.0)
+            coords.append(g + disp)
+        coords = np.stack(coords)
+        out_data = np.stack([
+            ndimage.map_coordinates(data[..., c], coords, order=3,
+                                    mode="constant", cval=0)
+            for c in range(data.shape[-1])], axis=-1)
+        labels = np.unique(seg)
+        out_seg = np.full(ps, -1, seg.dtype)
+        best = np.zeros(ps, np.float64)
+        for lab in labels:
+            m = ndimage.map_coordinates((seg == lab).astype(np.float32),
+                                        coords, order=1, mode="constant",
+                                        cval=1.0 if lab == -1 else 0.0)
+            upd = m > best
+            out_seg[upd] = lab
+            best[upd] = m[upd]
+        return out_data.astype(np.float32), out_seg
 
     # -- individual transforms ------------------------------------------
     def _spatial(self, data, seg):
@@ -221,8 +268,13 @@ class MoreDAAugmenter:
         seg = np.asarray(batch["seg"])
         out_d, out_s = [], []
         for b in range(data.shape[0]):
-            d, s = self._spatial(data[b], seg[b])
-            d = self._intensity(d)
+            if (self.do_elastic and seg[b].ndim == 3
+                    and self.rng.uniform() < self.p_elastic):
+                d, s = self._elastic(data[b], seg[b])
+            else:
+                d, s = self._spatial(data[b], seg[b])
+            if self.do_intensity:
+                d = self._intensity(d)
             if self.do_mirror:
                 d, s = self._mirror(d, s)
             out_d.append(np.ascontiguousarray(d))
@@ -244,6 +296,41 @@ class MoreDAAugmenter:
                     targets.append(result["target"][sl])
             result["target"] = targets
         return result
+
+
+DA_VARIANTS = ("moreDA", "insaneDA", "noDA")
+
+
+def get_augmentation(variant: str, final_patch_size,
+                     deep_supervision_scales=None, rng=None,
+                     **overrides) -> "MoreDAAugmenter":
+    """Named DA pipelines mirroring the reference's augmentation files
+    (training/data_augmentation/data_augmentation_{moreDA,insaneDA,
+    noDA}.py):
+
+      moreDA   — rot ±30°, scale 0.7–1.4, no elastic, intensity stack,
+                 mirror (the default training pipeline).
+      insaneDA — elastic ON with wider alpha/sigma, rot ±30°, scale
+                 0.65–1.6, higher transform probabilities.
+      noDA     — mirror-free geometric identity; only the centre crop
+                 and deep-supervision downsampling survive
+                 (get_no_augmentation drop-in).
+    """
+    if variant == "moreDA":
+        kw: dict = {}
+    elif variant == "insaneDA":
+        kw = dict(do_elastic=True, p_elastic=0.2, scale_range=(0.65, 1.6),
+                  p_rot=0.3, p_scale=0.3)
+    elif variant == "noDA":
+        kw = dict(p_rot=0.0, p_scale=0.0, do_mirror=False,
+                  do_intensity=False)
+    else:
+        raise KeyError(f"unknown DA variant {variant!r}; one of "
+                       f"{DA_VARIANTS}")
+    kw.update(overrides)
+    return MoreDAAugmenter(final_patch_size,
+                           deep_supervision_scales=deep_supervision_scales,
+                           rng=rng, **kw)
 
 
 def _rotmat3(ax, ay, az):

@@ -147,3 +147,42 @@ def summarize_results_in_one_json(summary_files: Sequence[str | Path],
     out = {r["experiment"]: r["mean_fg_dice"] for r in ranked}
     Path(out_file).write_text(json.dumps(out, indent=2))
     return out
+
+
+def add_mean_dice_to_json(summary_file: str | Path) -> float:
+    """evaluation/add_mean_dice_to_json.py: append the mean foreground
+    Dice over all cases/classes as results["mean_dice"] in place."""
+    summary_file = Path(summary_file)
+    with open(summary_file) as f:
+        summary = json.load(f)
+    dices = []
+    for case in summary["results"]["all"]:
+        for lab, m in case.items():
+            if isinstance(m, dict) and str(lab) not in ("0",):
+                d = m.get("Dice")
+                if d is not None and not (isinstance(d, float)
+                                          and np.isnan(d)):
+                    dices.append(float(d))
+    mean_dice = float(np.mean(dices)) if dices else float("nan")
+    summary["results"]["mean_dice"] = mean_dice
+    summary_file.write_text(json.dumps(summary, indent=2))
+    return mean_dice
+
+
+def collect_results_files(results_root: str | Path,
+                          out_folder: str | Path) -> list:
+    """evaluation/collect_results_files.py: copy every fold's
+    validation summary.json into one flat folder named
+    <experiment>__<fold>__summary.json."""
+    import shutil
+    results_root = Path(results_root)
+    out_folder = Path(out_folder)
+    out_folder.mkdir(parents=True, exist_ok=True)
+    copied = []
+    for summary in sorted(results_root.rglob("summary.json")):
+        rel = summary.relative_to(results_root)
+        name = "__".join(rel.parts[:-1]) + "__summary.json"
+        dst = out_folder / name
+        shutil.copy(summary, dst)
+        copied.append(dst)
+    return copied

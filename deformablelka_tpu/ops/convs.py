@@ -162,15 +162,18 @@ def conv3d(x, w, *, stride=1, padding="same", dilation=1, groups: int = 1,
     if (dil[0] > 1 and dil == (dil[0],) * 3 and st == (1, 1, 1)
             and groups == x.shape[-1] and w.shape[3] == 1
             and w.shape[:3] == (k, k, k) and k % 2 == 1
-            and tuple(padding) == ((dil[0] * (k // 2),) * 2,) * 3
-            and os.environ.get("DLKA_DWCONV_IMPL", "lax") == "zdecomp"):
-        # dilated depthwise with 'same' extent -> per-z-tap 2D convs.
-        # 9× faster ISOLATED (85→9 ms at 32×64×64 C=32) but 2× slower
-        # in the full flagship forward (580→1187 ms): the 7 per-tap
-        # conv outputs materialize in HBM where the single dilated conv
-        # writes once — isolated-op wins do not compose here (same
-        # story as im2col). Opt-in via DLKA_DWCONV_IMPL=zdecomp.
-        return _depthwise3d_zdecomp(x, w, dil[0], bias)
+            and tuple(padding) == ((dil[0] * (k // 2),) * 2,) * 3):
+        dw_impl = os.environ.get("DLKA_DWCONV_IMPL", "lax")
+        if dw_impl == "zdecomp":
+            # dilated depthwise with 'same' extent -> per-z-tap 2D
+            # convs. 9× faster ISOLATED (85→9 ms at 32×64×64 C=32) but
+            # 2× slower in the full flagship forward (580→1187 ms): the
+            # 7 per-tap conv outputs materialize in HBM where the
+            # single dilated conv writes once — isolated-op wins do not
+            # compose here (same story as im2col). Opt-in only.
+            return _depthwise3d_zdecomp(x, w, dil[0], bias)
+        if dw_impl == "atrous":
+            return _depthwise3d_atrous(x, w, dil[0], bias)
     if (w.shape[:3] == (3, 3, 3) and st == (1, 1, 1) and dil == (1, 1, 1)
             and groups == 1 and tuple(padding) == ((1, 1),) * 3):
         impl = os.environ.get("DLKA_CONV_IMPL", "auto")
@@ -228,6 +231,45 @@ def _depthwise3d_zdecomp(x, w, dilation: int, bias):
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out
+
+
+def _depthwise3d_atrous(x, w, dilation: int, bias):
+    """Dilated 3D depthwise conv via the à trous identity:
+    space-to-batch(d) → ONE dense k³ depthwise conv → batch-to-space.
+
+    An output at p only reads inputs at p + d·t, i.e. the same residue
+    class p mod d per axis — so the d³ phase sub-volumes are independent
+    and each undergoes a DENSE k³ conv with the same weights. Exact for
+    'same' zero padding (pad d·(k//2) = (k//2) per phase, which the
+    dense conv's own 'same' padding supplies; axes are zero-padded up to
+    multiples of d and the excess sliced off).
+
+    Unlike `_depthwise3d_zdecomp` (k separate conv calls, k HBM
+    intermediates) this issues a single conv on the shape the TPU
+    emitter handles well (dense 7³ = 8.5 ms where dilated 7³ = 85 ms at
+    the flagship stage-1 shape, PERF.md) plus two layout shuffles.
+    """
+    B, D, H, W, C = x.shape
+    k = w.shape[0]
+    d = dilation
+    pads = [(-s) % d for s in (D, H, W)]
+    xp = jnp.pad(x, ((0, 0), (0, pads[0]), (0, pads[1]), (0, pads[2]),
+                     (0, 0)))
+    Dp, Hp, Wp = D + pads[0], H + pads[1], W + pads[2]
+    x6 = xp.reshape(B, Dp // d, d, Hp // d, d, Wp // d, d, C)
+    x6 = jnp.transpose(x6, (0, 2, 4, 6, 1, 3, 5, 7))
+    xb = x6.reshape(B * d ** 3, Dp // d, Hp // d, Wp // d, C)
+    p = k // 2
+    y = lax.conv_general_dilated(
+        xb, w.astype(x.dtype), (1, 1, 1), ((p, p),) * 3,
+        feature_group_count=C,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    y = y.reshape(B, d, d, d, Dp // d, Hp // d, Wp // d, C)
+    y = jnp.transpose(y, (0, 4, 1, 5, 2, 6, 3, 7))
+    y = y.reshape(B, Dp, Hp, Wp, C)[:, :D, :H, :W]
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
 
 
 def depthwise_conv3d(x, w, *, stride=1, padding="same", dilation=1, bias=None):

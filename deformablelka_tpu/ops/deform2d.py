@@ -20,8 +20,11 @@ Everything is differentiable through `jnp` autodiff (gather/scatter VJPs).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from deformablelka_tpu.ops.convs import _tuple
 
@@ -55,6 +58,42 @@ def _bilinear_gather(x_flat, H, W, ys, xs, compute_dtype):
         w = (wy * wx) * valid[..., None].astype(compute_dtype)
         contrib = g * w
         out = contrib if out is None else out + contrib
+    return out
+
+
+def _bilinear_gather_slab(xpad, H, W, ys, xs, compute_dtype):
+    """Slab variant of `_bilinear_gather`: ONE `lax.gather` per tap
+    fetching the (2, 2, C) corner slab instead of 4 row gathers (see
+    ops/deform3d._trilinear_gather_slab for the construction — 1-pixel
+    zero ring + clipped starts makes it exact with PROMISE_IN_BOUNDS).
+
+    xpad: (B, H+2, W+2, C) zero-padded; ys, xs: (B, P).
+    """
+    C = xpad.shape[-1]
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    dy = (ys - y0).astype(compute_dtype)[..., None]
+    dx = (xs - x0).astype(compute_dtype)[..., None]
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+    idx = jnp.stack([jnp.clip(y0i, -1, H - 1) + 1,
+                     jnp.clip(x0i, -1, W - 1) + 1], axis=-1)
+    dn = lax.GatherDimensionNumbers(offset_dims=(1, 2, 3),
+                                    collapsed_slice_dims=(),
+                                    start_index_map=(0, 1))
+    g = jax.vmap(lambda xp, ix: lax.gather(
+        xp, ix, dn, slice_sizes=(2, 2, C),
+        mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS))(xpad, idx)
+    out = None
+    for oy in (0, 1):
+        wy = dy if oy else (1.0 - dy)
+        vy = (y0i + oy >= 0) & (y0i + oy < H)
+        for ox in (0, 1):
+            wx = dx if ox else (1.0 - dx)
+            vx = (x0i + ox >= 0) & (x0i + ox < W)
+            wgt = (wy * wx) * (vy & vx)[..., None].astype(compute_dtype)
+            contrib = g[:, :, oy, ox, :] * wgt
+            out = contrib if out is None else out + contrib
     return out
 
 
@@ -92,7 +131,11 @@ def deform_conv2d(x, offset, w, bias=None, *, stride=1, padding=0, dilation=1,
     taps = jnp.asarray([[i * dh, j * dw] for i in range(kh)
                         for j in range(kw)], jnp.float32)
 
-    x_flat = x.reshape(B, H * W, C)
+    slab = os.environ.get("DLKA_GATHER_IMPL", "slab") == "slab"
+    if slab:
+        x_src = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    else:
+        x_src = x.reshape(B, H * W, C)
     depthwise = groups == C and cin_g == 1 and cout == C
     cpg = C // groups
     opg = cout // groups
@@ -105,7 +148,11 @@ def deform_conv2d(x, offset, w, bias=None, *, stride=1, padding=0, dilation=1,
         off_t, tap, wt = xs_in
         ys = base_y + tap[0] + off_t[..., 0]
         xs = base_x + tap[1] + off_t[..., 1]
-        samp = _bilinear_gather(x_flat, H, W, ys, xs, compute_dtype)
+        if slab:
+            samp = _bilinear_gather_slab(x_src, H, W, ys, xs,
+                                         compute_dtype)
+        else:
+            samp = _bilinear_gather(x_src, H, W, ys, xs, compute_dtype)
         if depthwise:
             contrib = samp * wt.astype(compute_dtype)
         else:

@@ -232,3 +232,58 @@ def test_pallas_deform_interpret_parity_and_grad():
     for g in (gx, goff, gw):
         assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(goff).max()) > 0
+
+
+def test_slab_vs_taa_gather_parity(monkeypatch):
+    """The slab (one lax.gather of (2,2,2,C) per tap) and the 8-row
+    take_along_axis samplers must agree exactly, fwd + grads, incl. for
+    far-out-of-range offsets (PERF.md: slab is the faster default)."""
+    import deformablelka_tpu.ops.deform2d as d2
+    import deformablelka_tpu.ops.deform3d as d3
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 5, 6, 4, 3), jnp.float32)
+    off = jnp.asarray(rng.randn(2, 5, 6, 4, 81) * 4, jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, 3, 3, 3) * 0.2, jnp.float32)
+
+    def f3(x, off, w):
+        return d3.deform_conv3d(x, off, w, stride=1, padding=1,
+                                dilation=1, groups=1)
+
+    monkeypatch.setenv("DLKA_GATHER_IMPL", "taa")
+    ref, vjp_ref = jax.vjp(f3, x, off, w)
+    g = jnp.asarray(rng.randn(*ref.shape), jnp.float32)
+    grads_ref = vjp_ref(g)
+    monkeypatch.setenv("DLKA_GATHER_IMPL", "slab")
+    got, vjp_got = jax.vjp(f3, x, off, w)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+    for a, b in zip(grads_ref, vjp_got(g)):
+        np.testing.assert_allclose(b, a, atol=1e-5)
+
+    x2 = jnp.asarray(rng.randn(1, 9, 8, 5), jnp.float32)
+    off2 = jnp.asarray(rng.randn(1, 9, 8, 50) * 3, jnp.float32)
+    w2 = jnp.asarray(rng.randn(5, 5, 1, 5) * 0.2, jnp.float32)
+
+    def f2(x, off, w):
+        return d2.deform_conv2d(x, off, w, stride=1, padding=2,
+                                dilation=1, groups=5)
+
+    monkeypatch.setenv("DLKA_GATHER_IMPL", "taa")
+    ref2 = f2(x2, off2, w2)
+    monkeypatch.setenv("DLKA_GATHER_IMPL", "slab")
+    np.testing.assert_allclose(f2(x2, off2, w2), ref2, atol=1e-5)
+
+
+def test_atrous_dilated_depthwise_parity():
+    """À trous (space-to-batch) dilated depthwise conv is bit-exact vs
+    the lax dilated emitter, incl. axes not divisible by the dilation."""
+    from deformablelka_tpu.ops.convs import (_depthwise3d_atrous,
+                                             depthwise_conv3d)
+    rng = np.random.RandomState(0)
+    for (D, H, W, C, k, d) in ((10, 11, 13, 8, 7, 3), (9, 15, 10, 16, 5, 3),
+                               (12, 12, 12, 4, 3, 2)):
+        x = jnp.asarray(rng.randn(2, D, H, W, C), jnp.float32)
+        w = jnp.asarray(rng.randn(k, k, k, 1, C), jnp.float32)
+        ref = depthwise_conv3d(x, w, dilation=d)
+        got = _depthwise3d_atrous(x, w, d, None)
+        np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-5)
