@@ -31,6 +31,18 @@ def main(argv=None):
     ap.add_argument("--preprocessed_folder", default=None)
     ap.add_argument("--output_folder", default=None)
     ap.add_argument("--max_epochs", type=int, default=1000)
+    ap.add_argument("--patch_size", type=int, nargs=3, default=None,
+                    help="override the task patch (reference default: "
+                         "64 128 128 Synapse / 16 160 160 ACDC) — for "
+                         "small datasets and smoke runs")
+    ap.add_argument("--num_classes", type=int, default=None)
+    ap.add_argument("--batch_size", type=int, default=2)
+    ap.add_argument("--batches_per_epoch", type=int, default=250)
+    ap.add_argument("--val_batches_per_epoch", type=int, default=50)
+    ap.add_argument("--da", default="moreDA",
+                    choices=["moreDA", "insaneDA", "noDA"],
+                    help="augmentation pipeline variant "
+                         "(data_augmentation_{moreDA,insaneDA,noDA})")
     args = ap.parse_args(argv)
 
     from deformablelka_tpu.models.dlka_former import (
@@ -39,16 +51,18 @@ def main(argv=None):
     from deformablelka_tpu.data.dataset import (
         load_dataset, unpack_dataset, DataLoader3D)
     from deformablelka_tpu.data.augment import (
-        MoreDAAugmenter, ThreadedAugmenter, get_patch_size)
+        ThreadedAugmenter, get_augmentation, get_patch_size)
     from deformablelka_tpu.training.trainer3d import Trainer3D
 
     is_acdc = "acdc" in args.network_trainer
-    patch = (16, 160, 160) if is_acdc else (64, 128, 128)
-    batch_size = 2
-    num_classes = 4 if is_acdc else 14
+    patch = tuple(args.patch_size) if args.patch_size else (
+        (16, 160, 160) if is_acdc else (64, 128, 128))
+    batch_size = args.batch_size
+    num_classes = args.num_classes or (4 if is_acdc else 14)
     make_model = dlka_former_acdc if is_acdc else dlka_former_synapse
     model = make_model(num_classes=num_classes, do_ds=True,
-                       trans_block=args.trans_block, deterministic=True)
+                       trans_block=args.trans_block, deterministic=True,
+                       img_size=patch)
 
     pre_folder = args.preprocessed_folder or paths.preprocessed_folder()
     out_folder = Path(args.output_folder or
@@ -68,24 +82,32 @@ def main(argv=None):
 
     rot = (-np.pi / 6, np.pi / 6)
     enlarged = get_patch_size(patch, rot, rot, rot, (0.7, 1.4))
-    ds_scales = [[1, 1, 1], [0.5, 0.5, 0.5], [0.25, 0.25, 0.25]]
+    # DS targets must match the model heads: out2 is at patch/stem,
+    # out3 at patch/(2*stem) (DLKAFormer heads on dec1/dec2)
+    stem = (1, 4, 4) if is_acdc else (2, 4, 4)
+    ds_scales = [[1, 1, 1],
+                 [1 / s for s in stem],
+                 [1 / (2 * s) for s in stem]]
 
     def make_gen(ds, seed, train):
         loader = DataLoader3D(ds, enlarged if train else patch, batch_size,
                               rng=np.random.RandomState(seed))
-        aug = MoreDAAugmenter(
-            final_patch_size=patch,
+        overrides = ({} if train else
+                     dict(do_mirror=False, p_rot=0.0, p_scale=0.0,
+                          do_elastic=False, do_intensity=False))
+        aug = get_augmentation(
+            args.da if train else "moreDA", patch,
             deep_supervision_scales=ds_scales,
-            do_mirror=train, p_rot=0.2 if train else 0.0,
-            p_scale=0.2 if train else 0.0,
-            rng=np.random.RandomState(seed + 1))
+            rng=np.random.RandomState(seed + 1), **overrides)
         return ThreadedAugmenter(loader, lambda b: aug(
             {"data": b["data"], "seg": b["seg"]}), num_workers=4)
 
     trainer = Trainer3D(model, out_folder,
                         make_gen(tr_ds, 1234, True),
                         make_gen(vl_ds, 5678, False),
-                        max_num_epochs=args.max_epochs)
+                        max_num_epochs=args.max_epochs,
+                        num_batches_per_epoch=args.batches_per_epoch,
+                        num_val_batches_per_epoch=args.val_batches_per_epoch)
     if args.continue_training and trainer.ckpt.exists("model_latest"):
         trainer.initialize(trainer.train_gen.next())
         trainer.load_checkpoint("model_latest")

@@ -23,19 +23,26 @@ def main(argv=None):
     ap.add_argument("--stride_z", type=int, default=16)
     ap.add_argument("--trans_block",
                     default="TransformerBlock_3D_single_deform_LKA")
+    ap.add_argument("--model", default="dlka_net",
+                    choices=["dlka_net", "vnet", "resseg3d",
+                             "unetr_mini"],
+                    help="network: D-LKA Net or a pancreas "
+                         "baseline (vnet.py / ResNet34.py / "
+                         "unetr.py)")
     args = ap.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
 
-    from deformablelka_tpu.models.dlka_former import dlka_net_pancreas
+    from deformablelka_tpu.models.dlka_former import dlka_net_pancreas  # noqa: F401
+    from deformablelka_tpu.cli._pancreas_models import build_pancreas_model
     from deformablelka_tpu.data.pancreas import read_fold_list
     from deformablelka_tpu.inference.pancreas import (
         make_pancreas_sliding_window, test_all_case)
     from deformablelka_tpu.training.checkpoint import CheckpointManager
 
-    model = dlka_net_pancreas(trans_block=args.trans_block,
-                              img_size=tuple(args.patch_size))
+    model = build_pancreas_model(args.model, args.trans_block,
+                                 tuple(args.patch_size))
     x0 = jnp.zeros((1, *args.patch_size, 1), jnp.float32)
     template = jax.jit(model.init)(jax.random.PRNGKey(0), x0)
     target = {"params": template["params"], "step": 0}

@@ -25,9 +25,16 @@ def main(argv=None):
     ap.add_argument("--patch_size", type=int, nargs=3, default=[96, 96, 96])
     ap.add_argument("--trans_block",
                     default="TransformerBlock_3D_single_deform_LKA")
+    ap.add_argument("--model", default="dlka_net",
+                    choices=["dlka_net", "vnet", "resseg3d",
+                             "unetr_mini"],
+                    help="network: D-LKA Net or a pancreas "
+                         "baseline (vnet.py / ResNet34.py / "
+                         "unetr.py)")
     args = ap.parse_args(argv)
 
-    from deformablelka_tpu.models.dlka_former import dlka_net_pancreas
+    from deformablelka_tpu.models.dlka_former import dlka_net_pancreas  # noqa: F401
+    from deformablelka_tpu.cli._pancreas_models import build_pancreas_model
     from deformablelka_tpu.data.pancreas import (
         PancreasDataLoader, read_fold_list)
     from deformablelka_tpu.training.trainer_pancreas import TrainerPancreas
@@ -35,8 +42,8 @@ def main(argv=None):
     cases = read_fold_list(args.root_path, args.train_fold)
     loader = PancreasDataLoader(cases, crop_size=tuple(args.patch_size),
                                 batch_size=args.batch_size, seed=args.seed)
-    model = dlka_net_pancreas(trans_block=args.trans_block,
-                              img_size=tuple(args.patch_size))
+    model = build_pancreas_model(args.model, args.trans_block,
+                                 tuple(args.patch_size))
     trainer = TrainerPancreas(
         model, out_dir=f"{args.output_dir}/{args.exp}",
         base_lr=args.base_lr, max_iterations=args.max_iterations,

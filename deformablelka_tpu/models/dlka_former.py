@@ -192,21 +192,23 @@ class DLKAFormer(nn.Module):
 
 def dlka_former_synapse(num_classes: int = 14, do_ds: bool = True,
                         trans_block: str = "TransformerBlock_3D_single_deform_LKA",
-                        deterministic: bool = True) -> DLKAFormer:
+                        deterministic: bool = True,
+                        img_size=(64, 128, 128)) -> DLKAFormer:
     """Synapse config (run/default_configuration.py:62-69 hard-patches
     patch 64×128×128; out_channels from plans — 14 for raw Synapse labels,
     remapped to 9 for the paper's 8-organ eval)."""
-    return DLKAFormer(out_channels=num_classes, img_size=(64, 128, 128),
+    return DLKAFormer(out_channels=num_classes, img_size=tuple(img_size),
                       patch_size=(2, 4, 4), do_ds=do_ds,
                       trans_block=trans_block, deterministic=deterministic)
 
 
 def dlka_former_acdc(num_classes: int = 4, do_ds: bool = True,
                      trans_block: str = "TransformerBlock_3D_single_deform_LKA",
-                     deterministic: bool = True) -> DLKAFormer:
+                     deterministic: bool = True,
+                     img_size=(16, 160, 160)) -> DLKAFormer:
     """ACDC config (d_lka_former_trainer_acdc.py:93-94: crop [16,160,160],
     embedding patch (1,4,4))."""
-    return DLKAFormer(out_channels=num_classes, img_size=(16, 160, 160),
+    return DLKAFormer(out_channels=num_classes, img_size=tuple(img_size),
                       patch_size=(1, 4, 4), do_ds=do_ds,
                       trans_block=trans_block, deterministic=deterministic)
 
