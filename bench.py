@@ -45,24 +45,32 @@ def main():
 
     baseline_vps = 0.10  # assumed A100 reference (module docstring)
     try:
+        # scan mode: the whole tiled volume is ONE device program — on
+        # the tunneled chip the per-dispatch latency of the host-loop
+        # mode dominates (same-session A/B: 28 vs 83 s/vol, PERF.md).
+        # Timed op = predict_segmentation: upload volume, run the full
+        # protocol, argmax ON DEVICE, fetch the uint8 seg — fetching the
+        # float32 softmax instead costs ~25 s/vol of pure tunnel
+        # transfer (165 MB at ~7 MB/s), a PCIe-nonexistent artifact.
         sw = SlidingWindowInference(apply_fn, patch_size=patch,
                                     num_classes=14, step_size=0.5,
-                                    do_mirroring=True)
+                                    do_mirroring=True, loop_mode="scan")
         vol = np.random.RandomState(0).randn(96, 192, 160, 1).astype(
             np.float32)
         t0 = time.time()
-        sw.predict(variables, vol)  # compile + warm
+        sw.predict_segmentation(variables, vol)  # compile + warm
         warm = time.time() - t0
         t0 = time.time()
-        probs = sw.predict(variables, vol)
+        seg = sw.predict_segmentation(variables, vol)
         dt = time.time() - t0
-        assert probs.shape == (96, 192, 160, 14)
+        assert seg.shape == (96, 192, 160)
         vols_per_sec = 1.0 / dt
         print(json.dumps({
             "metric": "synapse3d_sliding_window_volumes_per_sec",
             "value": round(vols_per_sec, 4),
             "unit": ("volumes/sec/chip (96x192x160 vol, 64x128x128 patch,"
-                     f" x8 mirror TTA, 8 tiles; compile+warm {warm:.0f}s)"),
+                     " x8 mirror TTA, 8 tiles, one-program scan, device"
+                     f" argmax; compile+warm {warm:.0f}s)"),
             "vs_baseline": round(vols_per_sec / baseline_vps, 3),
         }))
         return

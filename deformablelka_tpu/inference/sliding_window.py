@@ -176,7 +176,7 @@ class SlidingWindowInference:
                  tile_batch: int = 1, tta_batch: int = 1,
                  grid_mode: str = "nnunet",
                  stride_xy: int = 16, stride_z: int = 16, mesh=None,
-                 mesh_axis: str = "data"):
+                 mesh_axis: str = "data", loop_mode: str | None = None):
         self.apply_fn = apply_fn
         self.patch_size = tuple(patch_size)
         self.num_classes = num_classes
@@ -208,7 +208,14 @@ class SlidingWindowInference:
         # "scan": the whole volume as one lax.scan program (fewest
         # dispatches, but the XLA compile of the tiled program is ~6×
         # a single forward's — see PERF.md).
-        self.loop_mode = "host" if mesh is None else "scan"
+        if loop_mode is None:
+            import os
+            loop_mode = os.environ.get("DLKA_SW_LOOP", "")
+        self.loop_mode = (loop_mode or
+                          ("host" if mesh is None else "scan"))
+        assert self.loop_mode in ("host", "scan")
+        if mesh is not None:
+            self.loop_mode = "scan"
         self._jitted = {}
         self._tile_fn = None
         self._acc_fn = None
@@ -282,9 +289,14 @@ class SlidingWindowInference:
         return jax.jit(run)
 
     def predict(self, params, volume: np.ndarray,
-                do_mirroring: bool | None = None) -> np.ndarray:
+                do_mirroring: bool | None = None,
+                return_device: bool = False) -> np.ndarray:
         """volume: (S1, S2, S3, C) host array → class probabilities
-        (S1, S2, S3, ncls) on host (padding removed)."""
+        (S1, S2, S3, ncls) on host (padding removed). With
+        `return_device` the PADDED device array and the crop slicer are
+        returned instead (no host fetch — predict_segmentation uses
+        this to fetch only the int8 argmax, 4*ncls× fewer bytes over
+        the host link)."""
         if do_mirroring is not None and do_mirroring != self.do_mirroring:
             self.do_mirroring = do_mirroring
             self._jitted.clear()
@@ -324,6 +336,8 @@ class SlidingWindowInference:
                                       jnp.asarray(origins),
                                       jnp.asarray(weights),
                                       jnp.asarray(gauss))
+        if return_device:
+            return probs, tuple(slicer)
         probs = np.asarray(probs)
         return probs[tuple(slicer)]
 
@@ -368,4 +382,6 @@ class SlidingWindowInference:
         return num / den[..., None]
 
     def predict_segmentation(self, params, volume: np.ndarray) -> np.ndarray:
-        return np.argmax(self.predict(params, volume), axis=-1)
+        probs, slicer = self.predict(params, volume, return_device=True)
+        seg = jax.jit(lambda p: jnp.argmax(p, -1).astype(jnp.uint8))(probs)
+        return np.asarray(seg)[slicer[:3]]

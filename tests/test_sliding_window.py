@@ -165,8 +165,9 @@ def test_host_loop_matches_scan_mode():
     assert sw_h.loop_mode == "host"
     out_h = sw_h.predict(variables, vol)
     sw_s = SlidingWindowInference(apply_fn, patch_size=patch,
-                                  num_classes=3, do_mirroring=True)
-    sw_s.loop_mode = "scan"
+                                  num_classes=3, do_mirroring=True,
+                                  loop_mode="scan")
+    assert sw_s.loop_mode == "scan"
     out_s = sw_s.predict(variables, vol)
     np.testing.assert_allclose(out_h, out_s, rtol=1e-5, atol=1e-6)
 
@@ -191,3 +192,29 @@ def test_tta_batch_parity():
         got = SlidingWindowInference(apply_fn, (8, 8, 8), ncls,
                                      tta_batch=tb).predict({}, vol)
         np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_predict_segmentation_device_argmax():
+    """predict_segmentation (device argmax, uint8 fetch) must equal
+    argmax over the host-fetched softmax."""
+    import flax.linen as nn
+    from deformablelka_tpu.inference.sliding_window import (
+        SlidingWindowInference)
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Conv(3, (3, 3, 3))(x)
+
+    model = Tiny()
+    patch = (8, 8, 8)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, *patch, 1)))
+    sw = SlidingWindowInference(lambda v, x: model.apply(v, x),
+                                patch_size=patch, num_classes=3)
+    vol = np.random.RandomState(1).randn(10, 13, 9, 1).astype(np.float32)
+    seg = sw.predict_segmentation(variables, vol)
+    ref = np.argmax(sw.predict(variables, vol), axis=-1)
+    assert seg.shape == vol.shape[:3]
+    assert seg.dtype == np.uint8
+    np.testing.assert_array_equal(seg, ref)
