@@ -92,3 +92,40 @@ def latency_bench(fn: Callable, args: tuple, warmup: int = 50,
     times = np.asarray(times) * 1000.0
     return {"mean_ms": float(times.mean()), "std_ms": float(times.std()),
             "reps": n_sync * inner}
+
+
+def latency_bench_scan(fn: Callable, args: tuple, reps: int = 100,
+                       rounds: int = 5) -> dict:
+    """Device-only latency: `reps` forwards inside ONE program via
+    lax.scan, so per-dispatch/tunnel overhead amortises to ~1/reps —
+    the TPU analog of the reference's CUDA-event timing
+    (test_inference_speed.py:23-45, which also excludes host dispatch).
+
+    The scanned input is perturbed by an iteration-dependent epsilon so
+    XLA cannot hoist the loop-invariant forward out of the scan, and
+    every step's output feeds the carry so none is dead code.
+    """
+    import jax.numpy as jnp
+
+    def run(*a):
+        def body(carry, i):
+            pert = (a[-1] + i.astype(a[-1].dtype) *
+                    jnp.asarray(1e-12, a[-1].dtype))
+            out = fn(*a[:-1], pert)
+            s = jax.tree.reduce(
+                lambda acc, t: acc + t.astype(jnp.float32).sum(), out, 0.0)
+            return carry + s, None
+        total, _ = jax.lax.scan(body, jnp.float32(0.0),
+                                jnp.arange(reps))
+        return total
+
+    jitted = jax.jit(run)
+    np.asarray(jitted(*args))  # compile + warm
+    times = []
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        np.asarray(jitted(*args))
+        times.append((time.perf_counter() - t0) / reps)
+    times = np.asarray(times) * 1000.0
+    return {"mean_ms": float(times.mean()), "std_ms": float(times.std()),
+            "reps": reps * rounds}
