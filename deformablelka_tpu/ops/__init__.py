@@ -29,9 +29,11 @@ def _impl() -> str:
     'gather'  — reference-exact, unbounded offsets; best END-TO-END on
                 the round-1 tunneled chip (PERF.md), so the default.
     'window'  — XLA dense-window, exact for |Δ|≤radius.
-    'pallas'  — Pallas kernel (VMEM window + MXU mixing); the right
-                answer on unthrottled silicon, per-op slower here at
-                C=32."""
+    'pallas'  — lane-packed Pallas kernel (VMEM window + MXU
+                mixing). Fast mode: DLKA_DEFORM_IMPL=pallas
+                DLKA_DEFORM_RADIUS=1 beats the exact gather 1.4x at
+                the stage-1 shape (PERF.md), clipping offsets to
+                |d| <= 1."""
     return _os.environ.get("DLKA_DEFORM_IMPL", "gather")
 
 

@@ -52,3 +52,12 @@ def test_halo_exchange_ends_are_zero():
     assert out[0, -1].max() == 0.0
     # interior halos carry the neighbour's ones
     assert out[0, 1].min() == 1.0
+
+
+def test_dp_sp_train_step():
+    """2-axis (data x space) training step from __graft_entry__: grads
+    flow through ppermute halo exchanges; loss decreases over steps."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+    g._dryrun_dp_sp(8)
