@@ -152,3 +152,21 @@ def per_class_metrics(pred_seg, gt_seg, labels, voxel_spacing=None,
                                                             voxel_spacing)
         out[str(lab)] = entry
     return out
+
+
+def normalized_surface_dice(a, b, threshold: float, voxel_spacing=None,
+                            connectivity=1):
+    """Symmetric normalized surface dice (evaluation/surface_dice.py:
+    20-57 — nnUNet's variant, which its own docstring notes differs from
+    the official NSD): fraction of surface points of each mask within
+    `threshold` mm of the other mask's surface,
+    dc = (tp_a + tp_b) / (tp_a + tp_b + fp + fn)."""
+    a_to_b = surface_distances(a, b, voxel_spacing, connectivity)
+    b_to_a = surface_distances(b, a, voxel_spacing, connectivity)
+    if a_to_b is None or b_to_a is None:
+        return float("nan")
+    tp_a = float(np.sum(a_to_b <= threshold)) / len(a_to_b)
+    tp_b = float(np.sum(b_to_a <= threshold)) / len(b_to_a)
+    fp = float(np.sum(a_to_b > threshold)) / len(a_to_b)
+    fn = float(np.sum(b_to_a > threshold)) / len(b_to_a)
+    return (tp_a + tp_b) / (tp_a + tp_b + fp + fn + 1e-8)

@@ -130,3 +130,49 @@ def test_evaluator_and_synapse_remap(tmp_path):
                                      out_file=tmp_path / "s.json")
     assert np.isclose(summary["results"]["mean"]["8"]["Dice"], 1.0)
     assert (tmp_path / "s.json").exists()
+
+
+def test_normalized_surface_dice():
+    from deformablelka_tpu.evaluation.metrics import (
+        normalized_surface_dice)
+    a = np.zeros((12, 12, 12), bool)
+    a[3:9, 3:9, 3:9] = True
+    assert abs(normalized_surface_dice(a, a, 1.0) - 1.0) < 1e-6
+    b = np.zeros_like(a)
+    b[4:10, 3:9, 3:9] = True  # shifted by 1 voxel
+    nsd1 = normalized_surface_dice(a, b, 1.0)
+    nsd0 = normalized_surface_dice(a, b, 0.5)
+    assert nsd1 > nsd0  # looser tolerance admits the 1-voxel shift
+    assert nsd1 > 0.9
+    import math
+    assert math.isnan(normalized_surface_dice(a, np.zeros_like(a), 1.0))
+
+
+def test_region_based_evaluation(tmp_path):
+    from deformablelka_tpu.data import nifti
+    from deformablelka_tpu.evaluation.region_based import (
+        create_region_from_mask, evaluate_case_regions, evaluate_regions,
+        get_brats_regions, get_kits_regions)
+    gt = np.zeros((10, 10, 10), np.int16)
+    gt[2:5] = 1
+    gt[5:7] = 2
+    gt[7:8] = 3
+    pred = gt.copy()
+    pred[7:8] = 2  # enhancing tumor mispredicted as core
+    m = create_region_from_mask(gt, (2, 3))
+    assert m.sum() == (gt >= 2).sum()
+    res = evaluate_case_regions(pred, gt, list(get_brats_regions().values()))
+    assert res[0] == 1.0            # whole tumor identical
+    assert res[1] == 1.0            # tumor core {2,3} identical as a set
+    assert res[2] == 0.0            # enhancing tumor empty in pred
+    assert len(get_kits_regions()) == 2
+    # folder mode + csv
+    (tmp_path / "pred").mkdir()
+    (tmp_path / "gt").mkdir()
+    nifti.save(pred, tmp_path / "pred" / "c1.nii.gz")
+    nifti.save(gt, tmp_path / "gt" / "c1.nii.gz")
+    s = evaluate_regions(tmp_path / "pred", tmp_path / "gt",
+                         get_brats_regions(),
+                         out_csv=tmp_path / "summary.csv")
+    assert s["whole tumor"]["mean"] == 1.0
+    assert (tmp_path / "summary.csv").exists()
