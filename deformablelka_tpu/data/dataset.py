@@ -70,13 +70,29 @@ class DataLoader3D:
 
     def __init__(self, dataset: Dict[str, dict], patch_size, batch_size,
                  oversample_foreground_percent: float = 0.33,
-                 rng: Optional[np.random.RandomState] = None):
+                 rng: Optional[np.random.RandomState] = None,
+                 seg_from_prev_stage_folder: Optional[str] = None,
+                 cascade_classes: Optional[Sequence[int]] = None):
         self.dataset = dataset
         self.keys = sorted(dataset.keys())
         self.patch_size = tuple(patch_size)
         self.batch_size = batch_size
         self.oversample = oversample_foreground_percent
         self.rng = rng or np.random.RandomState(1234)
+        # cascade (dataset_loading.py DataLoader3D cascade path): the
+        # previous stage's segmentation is appended as one-hot input
+        # channels; files <case>_segFromPrevStage.npz come from
+        # training/cascade.predict_next_stage
+        self.prev_stage_folder = (Path(seg_from_prev_stage_folder)
+                                  if seg_from_prev_stage_folder else None)
+        self.cascade_classes = (list(cascade_classes)
+                                if cascade_classes else None)
+
+    def _load_prev_stage(self, key: str) -> Optional[np.ndarray]:
+        if self.prev_stage_folder is None:
+            return None
+        f = self.prev_stage_folder / f"{key}_segFromPrevStage.npz"
+        return np.load(f)["data"] if f.exists() else None
 
     def _needs_fg(self, sample_idx: int) -> bool:
         # last `round(B*oversample)` samples of the batch are fg-forced
@@ -123,7 +139,18 @@ class DataLoader3D:
         for i, ki in enumerate(idx):
             key = self.keys[ki]
             data, props = load_case(self.dataset[key])
-            d, s = self._sample_patch(np.asarray(data), props,
+            data = np.asarray(data)
+            prev = self._load_prev_stage(key)
+            if prev is not None:
+                classes = (self.cascade_classes or
+                           sorted(int(c) for c in np.unique(prev)
+                                  if c > 0))
+                onehot = np.stack([(prev == c).astype(np.float32)
+                                   for c in classes])
+                # insert before the stacked seg channel
+                data = np.concatenate(
+                    [data[:-1], onehot, data[-1:]], axis=0)
+            d, s = self._sample_patch(data, props,
                                       self._needs_fg(i))
             datas.append(d)
             segs.append(s)

@@ -66,3 +66,54 @@ def test_dryrun_multichip_8dev():
     """The driver's multichip validation path on the virtual CPU mesh."""
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_cascade_predict_next_stage_and_loader(tmp_path):
+    """predict_next_stage writes segFromPrevStage files at the next
+    stage's shapes; DataLoader3D appends them as one-hot channels."""
+    import pickle
+    import flax.linen as nn
+    from deformablelka_tpu.data.dataset import DataLoader3D, load_dataset
+    from deformablelka_tpu.training.cascade import predict_next_stage
+
+    rng = np.random.RandomState(0)
+    low = tmp_path / "lowres"
+    full = tmp_path / "fullres"
+    low.mkdir()
+    full.mkdir()
+    for case, (ls, fs) in {"caseA": ((10, 12, 10), (20, 24, 20)),
+                           "caseB": ((8, 10, 12), (16, 20, 24))}.items():
+        for folder, shape in ((low, ls), (full, fs)):
+            img = rng.randn(1, *shape).astype(np.float32)
+            seg = (rng.rand(1, *shape) > 0.7).astype(np.float32)
+            np.savez_compressed(folder / f"{case}.npz",
+                                data=np.concatenate([img, seg]))
+            with open(folder / f"{case}.pkl", "wb") as f:
+                pickle.dump({"class_locations": {}}, f)
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Conv(2, (3, 3, 3))(x)
+
+    model = Tiny()
+    patch = (8, 8, 8)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, *patch, 1)))
+    out_dir = tmp_path / "pred_next_stage"
+    written = predict_next_stage(
+        lambda v, x: model.apply(v, x), variables, low, full, out_dir,
+        patch_size=patch, num_classes=2, do_mirroring=False)
+    assert len(written) == 2
+    segA = np.load(out_dir / "caseA_segFromPrevStage.npz")["data"]
+    assert segA.shape == (20, 24, 20)  # next stage's shape
+    assert segA.dtype == np.uint8
+
+    loader = DataLoader3D(load_dataset(full), patch_size=(8, 8, 8),
+                          batch_size=2,
+                          seg_from_prev_stage_folder=out_dir,
+                          cascade_classes=[1],
+                          rng=np.random.RandomState(1))
+    batch = loader.next()
+    assert batch["data"].shape == (2, 8, 8, 8, 2)  # image + one-hot(1)
+    assert set(np.unique(batch["data"][..., 1])) <= {0.0, 1.0}
