@@ -113,7 +113,70 @@ def main(argv=None):
         trainer.load_checkpoint("model_latest")
     if not args.validation_only:
         trainer.run_training()
+    else:
+        # -val (run_training.py:202-207 → Trainer_synapse.validate):
+        # load the final checkpoint, sliding-window predict every val
+        # case, aggregate dice/HD95 to validation/summary.json, decide
+        # largest-CC postprocessing
+        _validate(trainer, model, vl_ds, patch, num_classes, out_folder)
     return trainer
+
+
+def _validate(trainer, model, val_dataset, patch, num_classes,
+              out_folder):
+    import jax
+    import jax.numpy as jnp
+
+    from deformablelka_tpu.data.dataset import load_case
+    from deformablelka_tpu.evaluation.evaluator import aggregate_scores
+    from deformablelka_tpu.evaluation.postprocessing import (
+        determine_postprocessing)
+    from deformablelka_tpu.inference.sliding_window import (
+        SlidingWindowInference)
+
+    trainer.initialize(trainer.val_gen.next())
+    for name in ("model_final_checkpoint", "model_best", "model_latest"):
+        if trainer.ckpt.exists(name):
+            trainer.load_checkpoint(name)
+            trainer.print_to_log_file(f"validating with {name}")
+            break
+    variables = {"params": trainer.state.params}
+    if getattr(trainer.state, "batch_stats", None) is not None:
+        variables["batch_stats"] = trainer.state.batch_stats
+
+    def apply_fn(v, x):
+        out = model.apply(v, x.astype(jnp.bfloat16))
+        return out[0] if isinstance(out, (list, tuple)) else out
+
+    sw = SlidingWindowInference(apply_fn, patch_size=patch,
+                                num_classes=num_classes, step_size=0.5,
+                                do_mirroring=True)
+    val_dir = Path(out_folder) / "validation"
+    val_dir.mkdir(parents=True, exist_ok=True)
+    pairs = []
+    import time as _time
+    for case in sorted(val_dataset.keys()):
+        data, _ = load_case(val_dataset[case])
+        data = np.asarray(data)
+        vol = np.moveaxis(np.asarray(data[:-1], np.float32), 0, -1)
+        gt = data[-1].astype(np.int16)
+        t0 = _time.time()
+        seg = sw.predict_segmentation(variables, vol)
+        trainer.print_to_log_file(
+            f"{case}: predicted in {_time.time() - t0:.1f}s")
+        np.savez_compressed(val_dir / f"{case}.npz",
+                            data=seg.astype(np.uint8))
+        pairs.append((seg, gt))
+    labels = list(range(num_classes))
+    summary = aggregate_scores(pairs, labels,
+                               json_output_file=val_dir / "summary.json",
+                               json_name=Path(out_folder).name)
+    mean_fg = np.nanmean([summary["results"]["mean"][str(l)]["Dice"]
+                          for l in labels[1:]])
+    trainer.print_to_log_file(f"validation mean fg dice: {mean_fg:.4f}")
+    determine_postprocessing(pairs, labels[1:],
+                             out_json=val_dir / "postprocessing.json")
+    return summary
 
 
 if __name__ == "__main__":
