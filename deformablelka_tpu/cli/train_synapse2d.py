@@ -10,6 +10,7 @@ epochs after half the run).
 from __future__ import annotations
 
 import argparse
+from pathlib import Path
 
 
 def main(argv=None):
@@ -86,11 +87,16 @@ def main(argv=None):
             print(f"eval epoch {trainer.epoch}: mean dice "
                   f"{np.mean(dices):.4f}")
 
+    # tensorboardX log dir mirrors the reference's
+    # SummaryWriter(snapshot_path + '/log')
+    # (trainer_MaxViT_deform_LKA.py:116)
     trainer = Trainer2D(model, args.output_dir, loader,
                         base_lr=args.base_lr, max_epochs=args.max_epochs,
                         iterations_per_epoch=loader.num_batches,
                         eval_hook=eval_hook,
-                        eval_interval=args.eval_interval)
+                        eval_interval=args.eval_interval,
+                        tensorboard_dir=str(Path(args.output_dir) /
+                                            "log"))
     if args.pretrained_backbone:
         from deformablelka_tpu.convert.torch_loader import (
             load_maxvit_backbone)

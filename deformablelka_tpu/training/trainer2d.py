@@ -43,7 +43,8 @@ class Trainer2D:
                  max_epochs=400, iterations_per_epoch=None,
                  loss_fn: Callable = dice_ce_2d_loss,
                  eval_hook: Optional[Callable] = None,
-                 eval_interval: int = 20):
+                 eval_interval: int = 20,
+                 tensorboard_dir: Optional[str] = None):
         self.model = model
         self.output_folder = Path(output_folder)
         self.output_folder.mkdir(parents=True, exist_ok=True)
@@ -61,6 +62,16 @@ class Trainer2D:
         self.losses = []
         self.state = None
         self._step_fn = None
+        # tensorboardX scalars + image panels
+        # (trainer_MaxViT_deform_LKA.py:116,150-174)
+        self._tb = None
+        if tensorboard_dir is not None:
+            try:
+                from tensorboardX import SummaryWriter
+                self._tb = SummaryWriter(str(tensorboard_dir))
+            except ImportError:  # pragma: no cover - baked in here
+                log.warning("tensorboardX unavailable; TB logging off")
+        self._iter = 0
 
     def _max_iterations(self):
         return self.max_epochs * self.iterations_per_epoch
@@ -127,6 +138,37 @@ class Trainer2D:
                        "label": jnp.asarray(batch["label"], jnp.int32)}
                 self.state, m = self._step_fn(self.state, dev)
                 ep_losses.append(float(m["loss"]))
+                self._iter += 1
+                if self._tb is not None:
+                    frac = min(self._iter / self._max_iterations(), 1.0)
+                    self._tb.add_scalar(
+                        "info/lr", self.base_lr * (1 - frac) ** 0.9,
+                        self._iter)
+                    self._tb.add_scalar("info/total_loss",
+                                        float(m["loss"]), self._iter)
+                    if self._iter % 20 == 0:
+                        img = np.asarray(dev["image"][0])
+                        img = (img - img.min()) / max(
+                            float(img.max() - img.min()), 1e-8)
+                        self._tb.add_image(
+                            "train/Image", img.mean(-1, keepdims=True),
+                            self._iter, dataformats="HWC")
+                        pred = np.asarray(
+                            self.model.apply(
+                                {"params": self.state.params,
+                                 **({"batch_stats":
+                                     self.state.batch_stats}
+                                    if self.state.batch_stats else {})},
+                                dev["image"][:1]).argmax(-1))[0]
+                        self._tb.add_image(
+                            "train/Prediction",
+                            (pred[..., None] * 50).astype(np.uint8),
+                            self._iter, dataformats="HWC")
+                        gt = np.asarray(dev["label"][0])
+                        self._tb.add_image(
+                            "train/GroundTruth",
+                            (gt[..., None] * 50).astype(np.uint8),
+                            self._iter, dataformats="HWC")
             self.losses.append(float(np.mean(ep_losses)))
             self.epoch += 1
             log.info("epoch %d loss %.4f (%.1fs)", self.epoch,
@@ -144,6 +186,9 @@ class Trainer2D:
                        {"params": self.state.params,
                         "batch_stats": self.state.batch_stats or {}},
                        {"epoch": self.epoch})
+        if self._tb is not None:
+            self._tb.flush()
+            self._tb.close()
 
 
 class ReduceLROnPlateau:

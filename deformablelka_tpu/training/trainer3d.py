@@ -91,7 +91,7 @@ class Trainer3D:
                  initial_lr=1e-2, momentum=0.99, weight_decay=3e-5,
                  max_num_epochs=1000, num_batches_per_epoch=250,
                  num_val_batches_per_epoch=50, n_ds_outputs=3,
-                 save_every=50, mesh=None):
+                 save_every=50, mesh=None, tensorboard_dir=None):
         self.model = model
         self.output_folder = Path(output_folder)
         self.output_folder.mkdir(parents=True, exist_ok=True)
@@ -106,6 +106,13 @@ class Trainer3D:
         self.n_ds_outputs = n_ds_outputs
         self.save_every = save_every
         self.mesh = mesh
+        self._tb = None
+        if tensorboard_dir is not None:  # tensorboardX epoch scalars
+            try:
+                from tensorboardX import SummaryWriter
+                self._tb = SummaryWriter(str(tensorboard_dir))
+            except ImportError:  # pragma: no cover - baked in here
+                log.warning("tensorboardX unavailable; TB logging off")
         self.epoch = 0
         self.all_tr_losses = []
         self.all_val_losses = []
@@ -199,9 +206,24 @@ class Trainer3D:
                 f"epoch {self.epoch} lr {lr:.5f} "
                 f"tr_loss {self.all_tr_losses[-1]:.4f} "
                 f"({time.time() - t0:.1f}s)")
+            if self._tb is not None:
+                self._tb.add_scalar("info/lr", float(lr), self.epoch)
+                self._tb.add_scalar("loss/train",
+                                    self.all_tr_losses[-1], self.epoch)
+                if self.all_val_losses:
+                    self._tb.add_scalar("loss/val",
+                                        self.all_val_losses[-1],
+                                        self.epoch)
+                if self.all_val_eval_metrics:
+                    self._tb.add_scalar("eval/global_dice",
+                                        self.all_val_eval_metrics[-1],
+                                        self.epoch)
             self._maybe_fallback()
         self.save_checkpoint("model_final_checkpoint")
         self.plot_progress()
+        if self._tb is not None:
+            self._tb.flush()
+            self._tb.close()
 
     # -- observability (network_trainer_synapse.py:188-281) ---------------
     def print_to_log_file(self, *args):

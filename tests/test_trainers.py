@@ -2,6 +2,7 @@
 checkpoint roundtrip."""
 
 import numpy as np
+import pytest
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -79,3 +80,32 @@ def test_trainer2d_smoke(tmp_path):
     tr.run_training()
     assert len(tr.losses) == 2
     assert tr.ckpt.exists("best_model")
+
+
+def test_trainer2d_tensorboard_logging(tmp_path):
+    """tensorboard_dir writes event files with lr/loss scalars and
+    train image panels (trainer_MaxViT_deform_LKA.py:116,150-174)."""
+    pytest.importorskip("tensorboardX")
+    import flax.linen as nn
+    from deformablelka_tpu.training.trainer2d import Trainer2D
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Conv(3, (3, 3))(x)
+
+    class Gen:
+        def __init__(self):
+            self.rng = np.random.RandomState(0)
+            self.num_batches = 20
+
+        def next(self):
+            return {"image": self.rng.rand(2, 16, 16, 1).astype("f4"),
+                    "label": self.rng.randint(0, 3, (2, 16, 16))}
+
+    tr = Trainer2D(Tiny(), tmp_path / "out", Gen(), max_epochs=1,
+                   iterations_per_epoch=21,
+                   tensorboard_dir=tmp_path / "tb")
+    tr.run_training()
+    events = list((tmp_path / "tb").glob("events.out.tfevents.*"))
+    assert events and events[0].stat().st_size > 0
