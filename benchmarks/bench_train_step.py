@@ -21,11 +21,12 @@ def main():
         make_sgd, make_train_step, init_train_state)
     from deformablelka_tpu.training.losses import poly_lr
 
-    model = dlka_former_synapse(num_classes=14, do_ds=True)
     patch = (64, 128, 128)
     rng = jax.random.PRNGKey(0)
 
-    for B in (1, 2):
+    for B, remat in ((1, False), (1, True), (2, True)):
+        model = dlka_former_synapse(num_classes=14, do_ds=True,
+                                    remat=remat)
         x = jnp.zeros((B, *patch, 1), jnp.bfloat16)
         variables = jax.jit(model.init)(rng, x)
         tx = make_sgd(lambda s: poly_lr(0, 1000, 1e-2), momentum=0.99,
@@ -41,8 +42,13 @@ def main():
                 jnp.int32),
         }
         t0 = time.time()
-        state, m = step(state, batch)
-        np.asarray(m["loss"])
+        try:
+            state, m = step(state, batch)
+            np.asarray(m["loss"])
+        except Exception as e:
+            print(f"batch {B} remat={remat}: FAILED "
+                  f"{str(e)[:140]}", flush=True)
+            continue
         warm = time.time() - t0
         reps = 5
         t0 = time.time()
@@ -50,7 +56,7 @@ def main():
             state, m = step(state, batch)
         np.asarray(m["loss"])
         dt = (time.time() - t0) / reps
-        print(f"batch {B}: {dt*1000:.0f} ms/step "
+        print(f"batch {B} remat={remat}: {dt*1000:.0f} ms/step "
               f"({B/dt:.3f} samples/sec; compile+warm {warm:.0f}s)",
               flush=True)
 

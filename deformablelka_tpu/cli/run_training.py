@@ -39,6 +39,8 @@ def main(argv=None):
     ap.add_argument("--batch_size", type=int, default=2)
     ap.add_argument("--batches_per_epoch", type=int, default=250)
     ap.add_argument("--val_batches_per_epoch", type=int, default=50)
+    ap.add_argument("--no_remat", action="store_true",
+                    help="disable per-block gradient rematerialisation")
     ap.add_argument("--da", default="moreDA",
                     choices=["moreDA", "insaneDA", "noDA"],
                     help="augmentation pipeline variant "
@@ -60,9 +62,11 @@ def main(argv=None):
     batch_size = args.batch_size
     num_classes = args.num_classes or (4 if is_acdc else 14)
     make_model = dlka_former_acdc if is_acdc else dlka_former_synapse
+    # remat: without it a batch-2 step at the Synapse patch needs
+    # 24.9 GB HBM (> one v5e chip); recompute costs ~1 extra fwd
     model = make_model(num_classes=num_classes, do_ds=True,
                        trans_block=args.trans_block, deterministic=True,
-                       img_size=patch)
+                       img_size=patch, remat=not args.no_remat)
 
     pre_folder = args.preprocessed_folder or paths.preprocessed_folder()
     out_folder = Path(args.output_folder or

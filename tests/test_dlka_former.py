@@ -85,3 +85,33 @@ def test_pancreas_baselines_shapes():
                   hidden=16, depth=4, heads=4)
     out = u.apply(u.init(jax.random.PRNGKey(0), x), x)
     assert out.shape == (1, 16, 16, 16, 2)
+
+
+def test_remat_grad_parity():
+    """nn.remat'd blocks must give identical gradients (jax.checkpoint
+    is semantics-preserving; it only trades recompute for activation
+    memory — needed because a batch-2 train step at the Synapse patch
+    exceeds one chip's HBM without it, PERF.md)."""
+    from deformablelka_tpu.models.dlka_former import dlka_former_synapse
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 16, 32, 32, 1),
+                    jnp.float32)
+    m0 = dlka_former_synapse(num_classes=2, do_ds=False,
+                             img_size=(16, 32, 32), remat=False)
+    m1 = dlka_former_synapse(num_classes=2, do_ds=False,
+                             img_size=(16, 32, 32), remat=True)
+    v = jax.jit(m0.init)(jax.random.PRNGKey(0), x)
+
+    def loss_fn(m):
+        def f(params):
+            out = m.apply({"params": params,
+                           **({"batch_stats": v["batch_stats"]}
+                              if "batch_stats" in v else {})}, x,
+                          mutable=["batch_stats"])
+            return jnp.sum(out[0].astype(jnp.float32) ** 2)
+        return f
+
+    g0 = jax.grad(loss_fn(m0))(v["params"])
+    g1 = jax.grad(loss_fn(m1))(v["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(b, a, atol=1e-5)
