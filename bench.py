@@ -15,11 +15,37 @@ caps even pure MXU matmuls at ~2-4 % of v5e peak and adds ~9 ms per
 dispatch (see PERF.md) — vs_baseline reflects that environment, not the
 design's ceiling.
 
-Prints ONE JSON line.
+Prints ONE JSON line. The `secondary` field carries the 2D flagship
+latency (the reference's other headline harness,
+2D/test_inference_speed.py:23-55) so the driver's BENCH_r{N}.json
+records both flagships; bench2d.py remains the standalone 2D harness.
 """
 
 import json
 import time
+
+
+def _bench_2d():
+    """2D flagship batch-1 device-time latency (ms/img), like bench2d."""
+    import jax
+    import jax.numpy as jnp
+
+    from deformablelka_tpu.models.maxvit_dlka import (
+        MaxViTDeformableLKAFormer)
+    from deformablelka_tpu.utils.profiling import latency_bench_scan
+
+    model = MaxViTDeformableLKAFormer(num_classes=9)
+    x = jnp.zeros((1, 224, 224, 1), jnp.bfloat16)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    r = latency_bench_scan(lambda v, x: model.apply(v, x),
+                           (variables, x), reps=100, rounds=3)
+    baseline_ms = 25.0  # assumed A100 (bench2d.py docstring)
+    return {
+        "metric": "synapse2d_batch1_latency_ms",
+        "value": round(r["mean_ms"], 3),
+        "unit": "ms/img device-time (224x224, bf16, scan of 100)",
+        "vs_baseline": round(baseline_ms / r["mean_ms"], 3),
+    }
 
 
 def main():
@@ -65,6 +91,10 @@ def main():
         dt = time.time() - t0
         assert seg.shape == (96, 192, 160)
         vols_per_sec = 1.0 / dt
+        try:
+            secondary = _bench_2d()
+        except Exception as e:  # pragma: no cover
+            secondary = {"error": type(e).__name__}
         print(json.dumps({
             "metric": "synapse3d_sliding_window_volumes_per_sec",
             "value": round(vols_per_sec, 4),
@@ -72,6 +102,7 @@ def main():
                      " x8 mirror TTA, 8 tiles, one-program scan, device"
                      f" argmax; compile+warm {warm:.0f}s)"),
             "vs_baseline": round(vols_per_sec / baseline_vps, 3),
+            "secondary": secondary,
         }))
         return
     except Exception as e:  # pragma: no cover - TPU-environment fallback

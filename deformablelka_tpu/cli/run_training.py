@@ -1,10 +1,14 @@
-"""3D training CLI.
+"""3D/2D training CLI.
 
 Mirrors /root/reference/3D/d_lka_former/run/run_training.py:42-101:
   run_training.py 3d_fullres d_lka_former_trainer_synapse TASK FOLD
       [--continue_training] [-val] [--trans_block X] [--depths N]
       [--skip_connections N]
-"""
+
+network=2d selects the nnUNet `2d` configuration (GenericUNet ndim=2 +
+DataLoader2D random-slice sampling, dataset_loading.py:382-595) on the
+same preprocessed 3D cases; any other network string keeps the 3D
+flagship path (3d_fullres / 3d_lowres share the patch-based loader)."""
 
 from __future__ import annotations
 
@@ -51,22 +55,33 @@ def main(argv=None):
         dlka_former_synapse, dlka_former_acdc)
     from deformablelka_tpu.utils import paths
     from deformablelka_tpu.data.dataset import (
-        load_dataset, unpack_dataset, DataLoader3D)
+        load_dataset, unpack_dataset, DataLoader2D, DataLoader3D)
     from deformablelka_tpu.data.augment import (
         ThreadedAugmenter, get_augmentation, get_patch_size)
     from deformablelka_tpu.training.trainer3d import Trainer3D
 
     is_acdc = "acdc" in args.network_trainer
-    patch = tuple(args.patch_size) if args.patch_size else (
-        (16, 160, 160) if is_acdc else (64, 128, 128))
+    is_2d = args.network == "2d"
     batch_size = args.batch_size
     num_classes = args.num_classes or (4 if is_acdc else 14)
-    make_model = dlka_former_acdc if is_acdc else dlka_former_synapse
-    # remat: without it a batch-2 step at the Synapse patch needs
-    # 24.9 GB HBM (> one v5e chip); recompute costs ~1 extra fwd
-    model = make_model(num_classes=num_classes, do_ds=True,
-                       trans_block=args.trans_block, deterministic=True,
-                       img_size=patch, remat=not args.no_remat)
+    if is_2d:
+        # nnUNet `2d` configuration: GenericUNet on random slices
+        # (dataset_loading.py DataLoader2D; generic_UNet 2D config)
+        from deformablelka_tpu.models.generic_unet import GenericUNet
+        patch = tuple(args.patch_size)[-2:] if args.patch_size else \
+            (256, 256)
+        model = GenericUNet(num_classes=num_classes, ndim=2,
+                            num_pool=5, do_ds=True)
+    else:
+        patch = tuple(args.patch_size) if args.patch_size else (
+            (16, 160, 160) if is_acdc else (64, 128, 128))
+        make_model = dlka_former_acdc if is_acdc else dlka_former_synapse
+        # remat: without it a batch-2 step at the Synapse patch needs
+        # 24.9 GB HBM (> one v5e chip); recompute costs ~1 extra fwd
+        model = make_model(num_classes=num_classes, do_ds=True,
+                           trans_block=args.trans_block,
+                           deterministic=True,
+                           img_size=patch, remat=not args.no_remat)
 
     pre_folder = args.preprocessed_folder or paths.preprocessed_folder()
     out_folder = Path(args.output_folder or
@@ -86,19 +101,27 @@ def main(argv=None):
 
     rot = (-np.pi / 6, np.pi / 6)
     enlarged = get_patch_size(patch, rot, rot, rot, (0.7, 1.4))
-    # DS targets must match the model heads: out2 is at patch/stem,
-    # out3 at patch/(2*stem) (DLKAFormer heads on dec1/dec2)
-    stem = (1, 4, 4) if is_acdc else (2, 4, 4)
-    ds_scales = [[1, 1, 1],
-                 [1 / s for s in stem],
-                 [1 / (2 * s) for s in stem]]
+    if is_2d:
+        # GenericUNet DS heads: [full, 1/2, 1/4]
+        ds_scales = [[1, 1], [0.5, 0.5], [0.25, 0.25]]
+    else:
+        # DS targets must match the model heads: out2 is at patch/stem,
+        # out3 at patch/(2*stem) (DLKAFormer heads on dec1/dec2)
+        stem = (1, 4, 4) if is_acdc else (2, 4, 4)
+        ds_scales = [[1, 1, 1],
+                     [1 / s for s in stem],
+                     [1 / (2 * s) for s in stem]]
 
     def make_gen(ds, seed, train):
-        loader = DataLoader3D(ds, enlarged if train else patch, batch_size,
-                              rng=np.random.RandomState(seed))
+        loader_cls = DataLoader2D if is_2d else DataLoader3D
+        loader = loader_cls(ds, enlarged if train else patch, batch_size,
+                            rng=np.random.RandomState(seed))
         overrides = ({} if train else
                      dict(do_mirror=False, p_rot=0.0, p_scale=0.0,
                           do_elastic=False, do_intensity=False))
+        if is_2d:
+            # data is (B, H, W, C): never mirror the channel axis
+            overrides["mirror_axes"] = (0, 1)
         aug = get_augmentation(
             args.da if train else "moreDA", patch,
             deep_supervision_scales=ds_scales,

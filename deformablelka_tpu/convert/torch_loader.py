@@ -274,8 +274,14 @@ def convert_maxvit_dlka(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     for idx, name in ((3, "decoder_3"), (2, "decoder_2"), (1, "decoder_1"),
                       (0, "decoder_0")):
         j = name
-        put(f"{j}/x1_linear/weight", f"{name}.x1_linear.weight", "linear")
-        put(f"{j}/x1_linear/bias", f"{name}.x1_linear.bias", "none")
+        if idx != 3:
+            # decoder_3.x1_linear exists in the reference checkpoint but
+            # is dead code (MyDecoderLayer.forward with x2=None only runs
+            # layer_up, MaxViT_deform_LKA.py:618-620); the flax decoder_3
+            # never materialises it.
+            put(f"{j}/x1_linear/weight", f"{name}.x1_linear.weight",
+                "linear")
+            put(f"{j}/x1_linear/bias", f"{name}.x1_linear.bias", "none")
         put(f"{j}/layer_up/expand/weight", f"{name}.layer_up.expand.weight",
             "linear")
         put_norm(f"{j}/layer_up/norm", f"{name}.layer_up.norm", False)
@@ -312,14 +318,12 @@ def _convert_maxvit_backbone(params, stats, sd, prefix, jprefix,
             _set(params, f"{jpath}/scale", sd[f"{tkey}.weight"])
             _set(params, f"{jpath}/bias", sd[f"{tkey}.bias"])
 
-    # Stem
+    # Stem (convs are bias-free in the timm rw checkpoint)
     put(f"{jprefix}/stem/conv1/weight", f"{prefix}.stem.conv1.weight",
         "conv")
-    put(f"{jprefix}/stem/conv1/bias", f"{prefix}.stem.conv1.bias", "none")
     put_bn(f"{jprefix}/stem/norm1", f"{prefix}.stem.norm1")
     put(f"{jprefix}/stem/conv2/weight", f"{prefix}.stem.conv2.weight",
         "conv")
-    put(f"{jprefix}/stem/conv2/bias", f"{prefix}.stem.conv2.bias", "none")
 
     for s, depth in enumerate(depths):
         for b in range(depth):

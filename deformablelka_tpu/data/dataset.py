@@ -168,6 +168,99 @@ class DataLoader3D:
         return self.next()
 
 
+class DataLoader2D:
+    """Random-slice 2D patch sampler — the nnUNet `2d` configuration.
+
+    Parity target: dataset_loading.py DataLoader2D (:382-595). Per
+    sample: pick a case, pick a z-slice (fg-forced samples choose a
+    slice containing a random present foreground class via
+    `class_locations`, :478-502), then crop/pad a 2D patch. Data is
+    edge-padded (reference default pad_mode="edge", :384), seg is
+    padded with -1 (:585-588). Centered sampling rule for fg patches
+    and the lb/ub arithmetic match :531-560.
+
+    Yields {"data": (B, *patch, C), "seg": (B, *patch), "keys": [...]}
+    channels-last, like DataLoader3D.
+    """
+
+    def __init__(self, dataset: Dict[str, dict], patch_size, batch_size,
+                 oversample_foreground_percent: float = 0.33,
+                 rng: Optional[np.random.RandomState] = None,
+                 pad_mode: str = "edge"):
+        self.dataset = dataset
+        self.keys = sorted(dataset.keys())
+        self.patch_size = tuple(patch_size)
+        assert len(self.patch_size) == 2
+        self.batch_size = batch_size
+        self.oversample = oversample_foreground_percent
+        self.rng = rng or np.random.RandomState(1234)
+        self.pad_mode = pad_mode
+
+    def _needs_fg(self, sample_idx: int) -> bool:
+        return sample_idx >= round(self.batch_size * (1 - self.oversample))
+
+    def _pick_slice(self, data: np.ndarray, props: dict, force_fg: bool):
+        """Return (slice_idx, voxels2d or None) — dataset_loading.py:478-502."""
+        nz = data.shape[1]
+        if force_fg and props.get("class_locations"):
+            classes = [c for c, locs in props["class_locations"].items()
+                       if len(locs) and int(c) > 0]
+            if classes:
+                c = classes[self.rng.randint(len(classes))]
+                locs = np.asarray(props["class_locations"][c])
+                valid = np.unique(locs[:, 0])
+                z = int(valid[self.rng.randint(len(valid))])
+                vox = locs[locs[:, 0] == z][:, 1:]
+                return z, vox
+        return int(self.rng.randint(nz)), None
+
+    def _sample_patch(self, sl: np.ndarray, vox):
+        """sl: (C, x, y) slice with seg last channel."""
+        shape = sl.shape[1:]
+        ps = self.patch_size
+        lb = [-(p // 2) for p in ps]
+        ub = [s + p // 2 + p % 2 - p for s, p in zip(shape, ps)]
+        if vox is not None and len(vox):
+            center = vox[self.rng.randint(len(vox))]
+            start = [min(max(int(cv) - p // 2, l), u)
+                     for cv, p, l, u in zip(center, ps, lb, ub)]
+        else:
+            start = [self.rng.randint(l, u + 1) for l, u in zip(lb, ub)]
+        src = [slice(max(s, 0), min(s + p, dim))
+               for s, p, dim in zip(start, ps, shape)]
+        pads = [(-min(0, s), max(s + p - dim, 0))
+                for s, p, dim in zip(start, ps, shape)]
+        crop = sl[(slice(None),) + tuple(src)]
+        patch_data = np.pad(crop[:-1].astype(np.float32),
+                            ((0, 0),) + tuple(pads), self.pad_mode)
+        patch_seg = np.pad(crop[-1].astype(np.float32), tuple(pads),
+                           "constant", constant_values=-1)
+        return patch_data, patch_seg
+
+    def next(self):
+        idx = self.rng.choice(len(self.keys), self.batch_size, True)
+        datas, segs, keys = [], [], []
+        for i, ki in enumerate(idx):
+            key = self.keys[ki]
+            data, props = load_case(self.dataset[key])
+            data = np.asarray(data)
+            if data.ndim == 3:           # (C, x, y) single-slice case
+                data = data[:, None]
+            z, vox = self._pick_slice(data, props, self._needs_fg(i))
+            d, s = self._sample_patch(data[:, z], vox)
+            datas.append(d)
+            segs.append(s)
+            keys.append(key)
+        data = np.moveaxis(np.stack(datas), 1, -1)   # (B, *patch, C)
+        return {"data": data, "seg": np.stack(segs), "keys": keys}
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        return self.next()
+
+
 def compute_class_locations(seg: np.ndarray, classes: Sequence[int],
                             max_per_class: int = 10000,
                             rng=None) -> dict:

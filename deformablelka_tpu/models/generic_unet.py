@@ -16,7 +16,7 @@ batch-dim sharding.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 import jax.numpy as jnp
@@ -45,7 +45,7 @@ class ConvNormLRelu(nn.Module):
 
 class StackedConvLayers(nn.Module):
     features: int
-    first_stride: Sequence[int] = (1, 1, 1)
+    first_stride: Optional[Sequence[int]] = None   # default all-1s
     kernel: Sequence[int] = (3, 3, 3)
     n_convs: int = 2
     residual: bool = False  # residual planner variant: y = convs(x) + proj(x)
@@ -53,15 +53,19 @@ class StackedConvLayers(nn.Module):
     @nn.compact
     def __call__(self, x):
         inp = x
-        x = ConvNormLRelu(self.features, self.kernel, self.first_stride,
+        first_stride = (tuple(self.first_stride) if self.first_stride
+                        is not None else (1,) * len(tuple(self.kernel)))
+        x = ConvNormLRelu(self.features, self.kernel, first_stride,
                           name="block0")(x)
         for i in range(1, self.n_convs):
-            x = ConvNormLRelu(self.features, self.kernel, name=f"block{i}")(x)
+            x = ConvNormLRelu(self.features, self.kernel,
+                              (1,) * len(tuple(self.kernel)),
+                              name=f"block{i}")(x)
         if self.residual:
             if (inp.shape[-1] != self.features
-                    or any(s != 1 for s in self.first_stride)):
+                    or any(s != 1 for s in first_stride)):
                 inp = nn.Conv(self.features, (1,) * (inp.ndim - 2),
-                              strides=tuple(self.first_stride),
+                              strides=first_stride,
                               use_bias=False, name="proj")(inp)
             x = x + inp
         return x

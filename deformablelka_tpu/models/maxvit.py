@@ -265,10 +265,13 @@ class Stem(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = Conv2d(self.out_chs[0], 3, stride=2, padding=1, use_bias=True,
+        # bias=False on both convs (timm maxvit_rmlp_small_rw_224 stem,
+        # verified against the instantiated reference: Conv2d(..,
+        # bias=False); BatchNormAct2d carries the affine terms).
+        x = Conv2d(self.out_chs[0], 3, stride=2, padding=1, use_bias=False,
                    name="conv1")(x)
         x = BNAct(name="norm1")(x)
-        x = Conv2d(self.out_chs[1], 3, stride=1, padding=1, use_bias=True,
+        x = Conv2d(self.out_chs[1], 3, stride=1, padding=1, use_bias=False,
                    name="conv2")(x)
         return x
 

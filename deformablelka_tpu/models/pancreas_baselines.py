@@ -32,7 +32,8 @@ def _norm(kind, name):
     if kind == "groupnorm":
         return GroupNorm(num_groups=16, name=name)
     if kind == "instancenorm":
-        return InstanceNorm(name=name)
+        # vnet.py/ResNet34.py use nn.InstanceNorm3d(n) → affine=False
+        return InstanceNorm(affine=False, name=name)
     return None
 
 

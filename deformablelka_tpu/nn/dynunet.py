@@ -33,7 +33,11 @@ def _norm(norm_name, name, train=False):
     if isinstance(norm_name, (tuple, list)):
         norm_name = norm_name[0]
     if norm_name == "instance":
-        return InstanceNorm(name=name)
+        # monai get_norm_layer("instance") builds nn.InstanceNorm3d with
+        # the torch default affine=False — the reference's encoder1 /
+        # decoder UnetResBlocks carry NO instance-norm weights (verified
+        # against an instantiated D_LKA_Former state_dict).
+        return InstanceNorm(affine=False, name=name)
     if norm_name == "batch":
         return BatchNorm(name=name, use_running_average=not train)
     if norm_name == "group":

@@ -1,0 +1,486 @@
+"""Import the REAL reference code (/root/reference) for golden parity tests.
+
+The reference 2D networks import `timm` (only a vendored subset ships at
+networks/merit_lib/models_timm) and `torchvision` (absent in this image).
+This module installs:
+
+  * a `timm` shim whose `timm.models.layers` IS the reference's own
+    vendored `networks.merit_lib.models_timm.layers` package (no
+    re-implementation — we alias the reference code);
+  * a `torchvision` shim providing `torchvision.ops.DeformConv2d` /
+    `deform_conv2d` built on `torch.nn.functional.grid_sample`, torch's
+    canonical bilinear sampler, so the deformable sampling semantics in
+    the golden tests come from PyTorch itself, not from this repo.
+    (torchvision deform_conv2d: offsets (B, 2*kh*kw*groups_off, H, W)
+    ordered (dy, dx) per tap, taps row-major; sample point =
+    p0 - pad + k*dilation + dp; bilinear, zeros outside. Verified
+    against torchvision docs and the D3D CUDA kernel's 2D analog,
+    /root/reference/3D/dcn/src/cuda/deform_im2col_cuda.cuh:26-72.)
+
+Also patches `torch.load` during reference-model construction so
+`MaxViT4Out_Small.__init__` (merit_lib/networks.py:239-252), which
+unconditionally loads an ImageNet .pth, falls back to random init
+(`load_state_dict(..., strict=False)` with an empty dict is a no-op).
+"""
+
+import contextlib
+import sys
+import types
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+REF2D = "/root/reference/2D"
+REF3D = "/root/reference/3D"
+
+
+# ---------------------------------------------------------------------------
+# torchvision shim: deform_conv2d on top of F.grid_sample
+# ---------------------------------------------------------------------------
+
+def _deform_conv2d(x, offset, weight, bias=None, stride=(1, 1),
+                   padding=(0, 0), dilation=(1, 1), mask=None):
+    """torchvision.ops.deform_conv2d semantics via F.grid_sample.
+
+    x:      (B, Cin, H, W)
+    offset: (B, off_groups*2*kh*kw, Hout, Wout), (dy, dx) per tap
+    weight: (Cout, Cin//groups, kh, kw)
+    """
+    B, Cin, H, W = x.shape
+    Cout, Cin_g, kh, kw = weight.shape
+    groups = Cin // Cin_g
+    sh, sw = stride
+    ph, pw = padding
+    dh, dw = dilation
+    Hout = (H + 2 * ph - dh * (kh - 1) - 1) // sh + 1
+    Wout = (W + 2 * pw - dw * (kw - 1) - 1) // sw + 1
+    n_off_grps = offset.shape[1] // (2 * kh * kw)
+    assert Cin % n_off_grps == 0, (Cin, n_off_grps)
+
+    offset = offset.reshape(B, n_off_grps, kh * kw, 2, Hout, Wout)
+
+    # base output grid in input pixel coords
+    ys = torch.arange(Hout, dtype=x.dtype) * sh - ph
+    xs = torch.arange(Wout, dtype=x.dtype) * sw - pw
+    base_y = ys.view(1, Hout, 1)
+    base_x = xs.view(1, 1, Wout)
+
+    out = x.new_zeros(B, Cout, Hout, Wout)
+    w_flat = weight.reshape(Cout, Cin_g, kh * kw)
+    xg = x.reshape(B * n_off_grps, Cin // n_off_grps, H, W)
+    for k in range(kh * kw):
+        i, j = divmod(k, kw)
+        py = base_y + i * dh + offset[:, :, k, 0]            # (B,G,Ho,Wo)
+        px = base_x + j * dw + offset[:, :, k, 1]
+        gy = 2.0 * py / max(H - 1, 1) - 1.0
+        gx = 2.0 * px / max(W - 1, 1) - 1.0
+        grid = torch.stack([gx, gy], dim=-1).reshape(
+            B * n_off_grps, Hout, Wout, 2)
+        sampled = F.grid_sample(xg, grid, mode="bilinear",
+                                padding_mode="zeros", align_corners=True)
+        sampled = sampled.reshape(B, Cin, Hout, Wout)
+        if mask is not None:
+            m = mask.reshape(B, n_off_grps, kh * kw, Hout, Wout)[:, :, k]
+            sampled = sampled * m.repeat_interleave(
+                Cin // n_off_grps, dim=1)
+        # grouped accumulate: (B, G, Cin_g, Ho, Wo) x (G, Cout_g, Cin_g)
+        s = sampled.reshape(B, groups, Cin_g, Hout, Wout)
+        wk = w_flat[:, :, k].reshape(groups, Cout // groups, Cin_g)
+        out += torch.einsum("bgchw,goc->bgohw", s, wk).reshape(
+            B, Cout, Hout, Wout)
+    if bias is not None:
+        out = out + bias.view(1, -1, 1, 1)
+    return out
+
+
+class _DeformConv2d(torch.nn.Module):
+    """torchvision.ops.DeformConv2d (init matches torchvision: kaiming
+    uniform a=sqrt(5) == default conv init)."""
+
+    def __init__(self, in_channels, out_channels, kernel_size, stride=1,
+                 padding=0, dilation=1, groups=1, bias=True):
+        super().__init__()
+        to2 = lambda v: (v, v) if isinstance(v, int) else tuple(v)
+        self.kernel_size = to2(kernel_size)
+        self.stride = to2(stride)
+        self.padding = to2(padding)
+        self.dilation = to2(dilation)
+        self.groups = groups
+        self.weight = torch.nn.Parameter(torch.empty(
+            out_channels, in_channels // groups, *self.kernel_size))
+        self.bias = torch.nn.Parameter(
+            torch.empty(out_channels)) if bias else None
+        # same init as nn.Conv2d / torchvision DeformConv2d
+        torch.nn.init.kaiming_uniform_(self.weight, a=5 ** 0.5)
+        if self.bias is not None:
+            fan_in = in_channels // groups * np.prod(self.kernel_size)
+            bound = 1 / fan_in ** 0.5
+            torch.nn.init.uniform_(self.bias, -bound, bound)
+
+    def forward(self, x, offset, mask=None):
+        return _deform_conv2d(x, offset, self.weight, self.bias,
+                              self.stride, self.padding, self.dilation,
+                              mask)
+
+
+def install_torchvision_shim():
+    if "torchvision" in sys.modules:
+        return
+    tv = types.ModuleType("torchvision")
+    ops = types.ModuleType("torchvision.ops")
+    ops.DeformConv2d = _DeformConv2d
+    ops.deform_conv2d = _deform_conv2d
+    tv.ops = ops
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.ops"] = ops
+
+
+# ---------------------------------------------------------------------------
+# D3D shim: the reference's CUDA 3D deformable conv, re-expressed with
+# F.grid_sample on 5D tensors (torch's trilinear sampler). Offset layout
+# and sampling rule follow deform_im2col_cuda.cuh:192-265 exactly:
+# offsets (B, dg*3*kd*kh*kw, Do, Ho, Wo), channels [3*tap+{0,1,2}] =
+# (Δd, Δh, Δw) with taps row-major over (kd, kh, kw); sample point =
+# out*stride - pad + tap*dilation + Δ; zeros outside.
+# ---------------------------------------------------------------------------
+
+def _deform_conv3d(x, offset, weight, bias, stride, padding, dilation,
+                   groups, deformable_groups):
+    B, Cin, D, H, W = x.shape
+    Cout, Cin_g, kd, kh, kw = weight.shape
+    sd_, sh, sw = stride
+    pd, ph, pw = padding
+    dd, dh, dw = dilation
+    Do = (D + 2 * pd - dd * (kd - 1) - 1) // sd_ + 1
+    Ho = (H + 2 * ph - dh * (kh - 1) - 1) // sh + 1
+    Wo = (W + 2 * pw - dw * (kw - 1) - 1) // sw + 1
+    K = kd * kh * kw
+    dg = deformable_groups
+    offset = offset.reshape(B, dg, K, 3, Do, Ho, Wo)
+
+    base_d = (torch.arange(Do, dtype=x.dtype) * sd_ - pd).view(1, Do, 1, 1)
+    base_h = (torch.arange(Ho, dtype=x.dtype) * sh - ph).view(1, 1, Ho, 1)
+    base_w = (torch.arange(Wo, dtype=x.dtype) * sw - pw).view(1, 1, 1, Wo)
+
+    out = x.new_zeros(B, Cout, Do, Ho, Wo)
+    w_flat = weight.reshape(Cout, Cin_g, K)
+    xg = x.reshape(B * dg, Cin // dg, D, H, W)
+    for k in range(K):
+        i, rem = divmod(k, kh * kw)
+        j, l = divmod(rem, kw)
+        pz = base_d + i * dd + offset[:, :, k, 0]
+        py = base_h + j * dh + offset[:, :, k, 1]
+        px = base_w + l * dw + offset[:, :, k, 2]
+        gz = 2.0 * pz / max(D - 1, 1) - 1.0
+        gy = 2.0 * py / max(H - 1, 1) - 1.0
+        gx = 2.0 * px / max(W - 1, 1) - 1.0
+        grid = torch.stack([gx, gy, gz], dim=-1).reshape(
+            B * dg, Do, Ho, Wo, 3)
+        sampled = F.grid_sample(xg, grid, mode="bilinear",
+                                padding_mode="zeros", align_corners=True)
+        s = sampled.reshape(B, groups, Cin_g, Do, Ho, Wo)
+        wk = w_flat[:, :, k].reshape(groups, Cout // groups, Cin_g)
+        out += torch.einsum("bgcdhw,goc->bgodhw", s, wk).reshape(
+            B, Cout, Do, Ho, Wo)
+    if bias is not None:
+        out = out + bias.view(1, -1, 1, 1, 1)
+    return out
+
+
+def install_d3d_shim():
+    """Fake `D3D` extension module (forward only — golden tests don't
+    backprop through the torch reference)."""
+    if "D3D" in sys.modules:
+        return
+    d3d = types.ModuleType("D3D")
+
+    def deform_conv_forward(inp, weight, bias, offset,
+                            kd, kh, kw, sd_, sh, sw, pd, ph, pw,
+                            dd, dh, dw, group, deformable_groups,
+                            im2col_step):
+        return _deform_conv3d(inp, offset, weight, bias,
+                              (sd_, sh, sw), (pd, ph, pw), (dd, dh, dw),
+                              group, deformable_groups)
+
+    def deform_conv_backward(*a, **k):
+        raise NotImplementedError("D3D shim is forward-only")
+
+    d3d.deform_conv_forward = deform_conv_forward
+    d3d.deform_conv_backward = deform_conv_backward
+    sys.modules["D3D"] = d3d
+
+
+# ---------------------------------------------------------------------------
+# monai shim: only what dynunet_block.py / model_components.py use
+# (Convolution with conv_only=True, Act/Norm tokens, get_act_layer,
+# get_norm_layer) — semantics follow monai 0.9/1.x defaults: instance
+# norm affine=False (torch default), batch norm affine=True, group norm
+# affine=True.
+# ---------------------------------------------------------------------------
+
+def install_monai_shim():
+    if "monai" in sys.modules:
+        return
+    import torch.nn as nn
+
+    def _split(name):
+        if isinstance(name, (tuple, list)):
+            return str(name[0]).lower(), dict(name[1])
+        return str(name).lower(), {}
+
+    class Convolution(nn.Sequential):
+        def __init__(self, spatial_dims, in_channels, out_channels,
+                     strides=1, kernel_size=3, act="PRELU",
+                     norm="INSTANCE", dropout=None, bias=True,
+                     conv_only=False, is_transposed=False, padding=None,
+                     output_padding=None, **kw):
+            super().__init__()
+            assert conv_only, "shim supports conv_only=True (all call" \
+                              " sites in the reference use it)"
+            conv_t = ([nn.ConvTranspose1d, nn.ConvTranspose2d,
+                       nn.ConvTranspose3d] if is_transposed else
+                      [nn.Conv1d, nn.Conv2d, nn.Conv3d])[spatial_dims - 1]
+            if is_transposed:
+                conv = conv_t(in_channels, out_channels, kernel_size,
+                              stride=strides, padding=padding,
+                              output_padding=output_padding, bias=bias)
+            else:
+                conv = conv_t(in_channels, out_channels, kernel_size,
+                              stride=strides, padding=padding, bias=bias)
+            self.add_module("conv", conv)
+
+    class _Token:
+        PRELU = "prelu"
+        INSTANCE = "instance"
+        BATCH = "batch"
+        GROUP = "group"
+
+        def __getitem__(self, k):
+            return k
+
+    def get_act_layer(name):
+        n, kw = _split(name)
+        kw.pop("inplace", None)
+        table = {"leakyrelu": nn.LeakyReLU, "prelu": nn.PReLU,
+                 "relu": nn.ReLU, "gelu": nn.GELU}
+        return table[n](**kw)
+
+    def get_norm_layer(name, spatial_dims=3, channels=1):
+        n, kw = _split(name)
+        if n == "instance":
+            t = [nn.InstanceNorm1d, nn.InstanceNorm2d,
+                 nn.InstanceNorm3d][spatial_dims - 1]
+            return t(channels, **kw)
+        if n == "batch":
+            t = [nn.BatchNorm1d, nn.BatchNorm2d,
+                 nn.BatchNorm3d][spatial_dims - 1]
+            return t(channels, **kw)
+        if n == "group":
+            return nn.GroupNorm(num_channels=channels, **kw)
+        raise KeyError(n)
+
+    def optional_import(name, *a, **k):
+        try:
+            import importlib
+            return importlib.import_module(name), True
+        except ImportError:
+            return None, False
+
+    monai = types.ModuleType("monai")
+    networks = types.ModuleType("monai.networks")
+    blocks = types.ModuleType("monai.networks.blocks")
+    convolutions = types.ModuleType("monai.networks.blocks.convolutions")
+    layers = types.ModuleType("monai.networks.layers")
+    factories = types.ModuleType("monai.networks.layers.factories")
+    utils = types.ModuleType("monai.networks.layers.utils")
+    mutils = types.ModuleType("monai.utils")
+    mutils.optional_import = optional_import
+    convolutions.Convolution = Convolution
+    factories.Act = _Token()
+    factories.Norm = _Token()
+    utils.get_act_layer = get_act_layer
+    utils.get_norm_layer = get_norm_layer
+    monai.utils = mutils
+    monai.networks = networks
+    networks.blocks = blocks
+    networks.layers = layers
+    blocks.convolutions = convolutions
+    layers.factories = factories
+    layers.utils = utils
+    for name, mod in [("monai", monai), ("monai.utils", mutils),
+                      ("monai.networks", networks),
+                      ("monai.networks.blocks", blocks),
+                      ("monai.networks.blocks.convolutions", convolutions),
+                      ("monai.networks.layers", layers),
+                      ("monai.networks.layers.factories", factories),
+                      ("monai.networks.layers.utils", utils)]:
+        sys.modules[name] = mod
+
+
+def install_batchgenerators_shim():
+    """neural_network.py imports pad_nd_image at module level; a stub is
+    enough for constructing/forwarding the models."""
+    if "batchgenerators" in sys.modules:
+        return
+    bg = types.ModuleType("batchgenerators")
+    aug = types.ModuleType("batchgenerators.augmentations")
+    utils = types.ModuleType("batchgenerators.augmentations.utils")
+
+    def pad_nd_image(*a, **k):
+        raise NotImplementedError("batchgenerators shim: predict-time "
+                                  "padding not available in golden tests")
+
+    utils.pad_nd_image = pad_nd_image
+    bg.augmentations = aug
+    aug.utils = utils
+    sys.modules["batchgenerators"] = bg
+    sys.modules["batchgenerators.augmentations"] = aug
+    sys.modules["batchgenerators.augmentations.utils"] = utils
+
+
+# ---------------------------------------------------------------------------
+# timm shim: alias the reference's vendored models_timm
+# ---------------------------------------------------------------------------
+
+def install_timm_shim():
+    if "timm" in sys.modules:
+        return
+    if REF2D not in sys.path:
+        sys.path.insert(0, REF2D)
+    timm = types.ModuleType("timm")
+    timm.__version__ = "0.6.12+refshim"
+    data = types.ModuleType("timm.data")
+    data.IMAGENET_DEFAULT_MEAN = (0.485, 0.456, 0.406)
+    data.IMAGENET_DEFAULT_STD = (0.229, 0.224, 0.225)
+    data.IMAGENET_INCEPTION_MEAN = (0.5, 0.5, 0.5)
+    data.IMAGENET_INCEPTION_STD = (0.5, 0.5, 0.5)
+    models = types.ModuleType("timm.models")
+    sys.modules["timm"] = timm
+    sys.modules["timm.data"] = data
+    sys.modules["timm.models"] = models
+    timm.data, timm.models = data, models
+    from networks.merit_lib.models_timm import layers as vendored_layers
+    sys.modules["timm.models.layers"] = vendored_layers
+    models.layers = vendored_layers
+
+
+def install_fvcore_shim():
+    """deformable_LKA.py:160 imports fvcore at module level (for its
+    __main__ FLOPs printout); a stub suffices for importing the models."""
+    if "fvcore" in sys.modules:
+        return
+    fvcore = types.ModuleType("fvcore")
+    fnn = types.ModuleType("fvcore.nn")
+    fnn.FlopCountAnalysis = None
+    fnn.flop_count_table = None
+    fnn.parameter_count_table = None
+    fvcore.nn = fnn
+    sys.modules["fvcore"] = fvcore
+    sys.modules["fvcore.nn"] = fnn
+
+
+def install_dataclass_compat():
+    """The vendored maxxvit_4out.py uses nested-dataclass defaults
+    (`conv_cfg: MaxxVitConvCfg = MaxxVitConvCfg()`), legal on the
+    reference's Python but rejected by >=3.12 ('mutable default ... use
+    default_factory'). Rewrite such defaults to default_factory copies
+    at class-creation time, preserving the intended semantics."""
+    import dataclasses
+
+    if getattr(dataclasses._get_field, "_ref_harness_patch", False):
+        return
+    orig = dataclasses._get_field
+
+    def patched(cls, a_name, a_type, *args, **kwargs):
+        default = getattr(cls, a_name, dataclasses.MISSING)
+        if (default is not dataclasses.MISSING
+                and not isinstance(default, dataclasses.Field)
+                and dataclasses.is_dataclass(default)
+                and type(default).__hash__ is None):
+            setattr(cls, a_name, dataclasses.field(
+                default_factory=lambda d=default: dataclasses.replace(d)))
+        return orig(cls, a_name, a_type, *args, **kwargs)
+
+    patched._ref_harness_patch = True
+    dataclasses._get_field = patched
+
+
+def install_all():
+    install_dataclass_compat()
+    install_torchvision_shim()
+    install_timm_shim()
+    install_fvcore_shim()
+
+
+def install_all_3d():
+    """Shims + sys.path for importing /root/reference/3D models."""
+    install_all()
+    install_d3d_shim()
+    install_monai_shim()
+    install_batchgenerators_shim()
+    if REF3D not in sys.path:
+        sys.path.insert(0, REF3D)
+
+
+def build_reference_3d_flagship(num_classes=14, seed=0,
+                                crop_size=(64, 128, 128),
+                                depths=(3, 3, 3, 3)):
+    """Random-init D_LKA_Former (d_lka_former_synapse.py:8-167) with the
+    published block, eval mode, on CPU via the D3D/monai shims.
+
+    The published encoder/decoder hardcode per-stage token counts for
+    the Synapse crop 64x128x128 (model_components.py:14 default
+    input_size, d_lka_former_synapse.py:96-130 out_size) and allocate a
+    ZERO-init `pos_embed` Parameter of that length
+    (transformerblock.py:615, never touched by _init_weights). For a
+    smaller golden crop we re-allocate each pos_embed at the scaled
+    token count — and randomize it, so pos_embed conversion is actually
+    exercised (at the published size it is always zero at random init).
+    """
+    install_all_3d()
+    torch.manual_seed(seed)
+    from d_lka_former.network_architecture.synapse.d_lka_former_synapse \
+        import D_LKA_Former
+    from d_lka_former.network_architecture.synapse.transformerblock \
+        import TransformerBlock_3D_single_deform_LKA
+    model = D_LKA_Former(
+        in_channels=1, out_channels=num_classes, img_size=list(crop_size),
+        depths=list(depths), dims=[32, 64, 128, 256],
+        do_ds=True, trans_block=TransformerBlock_3D_single_deform_LKA)
+    ratio = (64 * 128 * 128) // int(np.prod(crop_size))
+    for m in model.modules():
+        pe = getattr(m, "pos_embed", None)
+        if isinstance(pe, torch.nn.Parameter):
+            n = pe.shape[1] // ratio
+            m.pos_embed = torch.nn.Parameter(
+                0.02 * torch.randn(1, n, pe.shape[2]))
+    return model.eval()
+
+
+@contextlib.contextmanager
+def no_pretrained_load():
+    """MaxViT4Out_Small unconditionally torch.load()s an ImageNet pth;
+    make that a no-op (random init) for golden tests."""
+    orig = torch.load
+    torch.load = lambda *a, **k: {}
+    try:
+        yield
+    finally:
+        torch.load = orig
+
+
+def build_reference_2d_flagship(num_classes=9, seed=0):
+    """Random-init MaxViT_deformableLKAFormer from the real reference
+    code (MaxViT_deform_LKA.py:634-696), eval mode."""
+    install_all()
+    torch.manual_seed(seed)
+    with no_pretrained_load():
+        from networks.MaxViT_deform_LKA import MaxViT_deformableLKAFormer
+        model = MaxViT_deformableLKAFormer(num_classes=num_classes)
+    return model.eval()
+
+
+def state_dict_numpy(model):
+    return {k: v.detach().cpu().numpy()
+            for k, v in model.state_dict().items()}

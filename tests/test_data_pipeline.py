@@ -92,3 +92,43 @@ def test_threaded_augmenter(tmp_path):
         b = ta.next()
         assert b["data"].shape == (2, 12, 12, 12, 1)
     ta.stop()
+
+
+def test_dataloader2d_shapes_fg_and_padding(tmp_path):
+    """DataLoader2D (dataset_loading.py:382-595): random-slice 2D
+    patches, fg-forced slice selection, edge-pad data / -1-pad seg."""
+    from deformablelka_tpu.data.dataset import DataLoader2D
+
+    _make_dataset(tmp_path)
+    ds = load_dataset(tmp_path)
+    loader = DataLoader2D(ds, patch_size=(16, 16), batch_size=4,
+                          oversample_foreground_percent=0.5,
+                          rng=np.random.RandomState(0))
+    batch = loader.next()
+    assert batch["data"].shape == (4, 16, 16, 1)
+    assert batch["seg"].shape == (4, 16, 16)
+    # fg-forced samples (last 2 of 4 at 50%) must contain foreground
+    assert sum((batch["seg"][i] > 0).any() for i in (2, 3)) == 2
+
+    # patch larger than the slice: data edge-padded (finite), seg -1
+    big = DataLoader2D(ds, patch_size=(40, 40), batch_size=1,
+                       rng=np.random.RandomState(0))
+    b = big.next()
+    assert b["data"].shape == (1, 40, 40, 1)
+    assert np.isfinite(b["data"]).all()
+    assert (b["seg"] == -1).any()
+
+
+def test_generic_unet_2d_config():
+    """The nnUNet `2d` configuration network (GenericUNet ndim=2)."""
+    import jax
+    import jax.numpy as jnp
+    from deformablelka_tpu.models.generic_unet import GenericUNet
+
+    m = GenericUNet(num_classes=3, ndim=2, num_pool=3,
+                    base_num_features=4, do_ds=True)
+    x = jnp.zeros((2, 32, 32, 1))
+    v = m.init(jax.random.PRNGKey(0), x)
+    outs = m.apply(v, x)
+    assert [o.shape for o in outs] == [(2, 32, 32, 3), (2, 16, 16, 3),
+                                       (2, 8, 8, 3)]

@@ -87,11 +87,15 @@ def test_pancreas_baselines_shapes():
     assert out.shape == (1, 16, 16, 16, 2)
 
 
+@pytest.mark.slow
 def test_remat_grad_parity():
     """nn.remat'd blocks must give identical gradients (jax.checkpoint
     is semantics-preserving; it only trades recompute for activation
     memory — needed because a batch-2 train step at the Synapse patch
-    exceeds one chip's HBM without it, PERF.md)."""
+    exceeds one chip's HBM without it, PERF.md).
+
+    slow: ~5 min on the 1-core CPU box (full-model value_and_grad
+    compile twice); (16,32,32) is already the minimum 4-stage size."""
     from deformablelka_tpu.models.dlka_former import dlka_former_synapse
     x = jnp.asarray(np.random.RandomState(0).randn(1, 16, 32, 32, 1),
                     jnp.float32)

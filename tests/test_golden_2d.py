@@ -1,0 +1,161 @@
+"""GOLDEN parity tests against the REAL reference code.
+
+These tests import /root/reference/2D (via tests/reference_harness.py
+shims), build the actual torch models at random init, convert their
+state_dicts with deformablelka_tpu.convert, and assert full-model /
+per-stage activation parity in fp32. Unlike test_converter.py (synthetic
+state dicts) and test_torch_parity.py (torch builtins), a failure here
+means a real converter or architecture bug vs the published code.
+
+Reference entry points exercised:
+  MaxViT_deformableLKAFormer   2D/networks/MaxViT_deform_LKA.py:634-696
+  MaxViT4Out_Small backbone    2D/networks/merit_lib/networks.py:225-293
+  deformableLKABlock           2D/networks/MaxViT_deform_LKA.py:142-189
+  deformable_LKA_Attention     2D/deformable_LKA/deformable_LKA.py:90-158
+
+Deformable sampling semantics in the torch reference come from
+torch.nn.functional.grid_sample (reference_harness shim for the absent
+torchvision), validated in test_shim_* below against this repo's
+independent numpy reference.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo/tests")
+import reference_harness as rh  # noqa: E402
+from references import deform_conv2d_ref  # noqa: E402
+
+from deformablelka_tpu.convert.torch_loader import convert_maxvit_dlka
+from deformablelka_tpu.models.maxvit_dlka import MaxViTDeformableLKAFormer
+from deformablelka_tpu.models.maxvit import MaxViT4Out
+
+
+# ---------------------------------------------------------------------------
+# Shim self-checks: the grid_sample-based DeformConv2d used inside the
+# torch reference must agree with the independent numpy loop reference.
+# ---------------------------------------------------------------------------
+
+def test_shim_deform_conv2d_zero_offset_equals_conv():
+    torch.manual_seed(0)
+    for (cin, cout, g, k, pad, dil) in [(6, 6, 6, 5, 2, 1),
+                                        (6, 6, 6, 7, 9, 3),
+                                        (8, 4, 2, 3, 1, 1)]:
+        x = torch.randn(2, cin, 13, 11, dtype=torch.float64)
+        w = torch.randn(cout, cin // g, k, k, dtype=torch.float64)
+        b = torch.randn(cout, dtype=torch.float64)
+        off = torch.zeros(2, 2 * k * k, 13, 11, dtype=torch.float64)
+        y1 = rh._deform_conv2d(x, off, w, b, (1, 1), (pad, pad), (dil, dil))
+        y2 = torch.nn.functional.conv2d(x, w, b, 1, pad, dil, g)
+        assert float((y1 - y2).abs().max()) < 1e-12
+
+
+def test_shim_deform_conv2d_matches_numpy_reference():
+    rng = np.random.RandomState(0)
+    for (cin, cout, g, k, pad, dil) in [(4, 4, 4, 3, 1, 1),
+                                        (4, 4, 4, 5, 2, 1),
+                                        (4, 8, 2, 3, 3, 3)]:
+        x = rng.randn(2, 9, 8, cin)
+        off = rng.randn(2, 9, 8, 2 * k * k) * 2.5
+        w = rng.randn(k, k, cin // g, cout)
+        b = rng.randn(cout)
+        ref = deform_conv2d_ref(x, off, w, b, 1, pad, dil, g)
+        y = rh._deform_conv2d(
+            torch.tensor(x.transpose(0, 3, 1, 2)),
+            torch.tensor(off.transpose(0, 3, 1, 2)),
+            torch.tensor(w.transpose(3, 2, 0, 1)),
+            torch.tensor(b), (1, 1), (pad, pad), (dil, dil))
+        np.testing.assert_allclose(
+            y.numpy().transpose(0, 2, 3, 1), ref, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Golden: full 2D flagship + backbone stages
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def flagship_pair():
+    """(torch reference model, converted flax variables, input)."""
+    ref = rh.build_reference_2d_flagship(num_classes=9, seed=0)
+    sd = rh.state_dict_numpy(ref)
+    variables = convert_maxvit_dlka(sd)
+    x = np.random.RandomState(0).randn(1, 1, 224, 224).astype(np.float32)
+    return ref, variables, x
+
+
+@pytest.mark.slow
+def test_golden_backbone_stage_parity(flagship_pair):
+    ref, variables, x = flagship_pair
+    with torch.no_grad():
+        feats_t = [f.numpy() for f in
+                   ref.backbone(torch.tensor(x).repeat(1, 3, 1, 1))]
+    bb = MaxViT4Out(img_size=224)
+    bvars = {"params": variables["params"]["backbone"],
+             "batch_stats": variables["batch_stats"]["backbone"]}
+    feats_j = bb.apply(bvars, jnp.repeat(
+        jnp.asarray(x.transpose(0, 2, 3, 1)), 3, -1))
+    # torch returns (768@7², 384@14², 192@28², 96@56²); flax e0..e3
+    for i in range(4):
+        a = np.asarray(feats_j[i]).transpose(0, 3, 1, 2)
+        b = feats_t[3 - i]
+        scale = np.abs(b).max()
+        assert np.abs(a - b).max() < 1e-4 * max(scale, 1.0), \
+            f"stage {i}: {np.abs(a - b).max()} vs scale {scale}"
+
+
+@pytest.mark.slow
+def test_golden_flagship_full_model_parity(flagship_pair):
+    ref, variables, x = flagship_pair
+    with torch.no_grad():
+        y_t = ref(torch.tensor(x)).numpy()
+    model = MaxViTDeformableLKAFormer(num_classes=9)
+    y_j = np.asarray(model.apply(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 1)))).transpose(
+        0, 3, 1, 2)
+    scale = np.abs(y_t).max()
+    assert y_j.shape == y_t.shape
+    assert np.abs(y_j - y_t).max() < 2e-4 * max(scale, 1.0), \
+        f"{np.abs(y_j - y_t).max()} vs out scale {scale}"
+
+
+# ---------------------------------------------------------------------------
+# Golden: deformableLKABlock module-level (fast — no 100M-param model)
+# ---------------------------------------------------------------------------
+
+def test_golden_deformable_lka_block():
+    """One reference deformableLKABlock (dim 32) vs the flax block with
+    converted weights, random offsets flowing through real deform convs."""
+    rh.install_all()
+    with rh.no_pretrained_load():
+        from networks.MaxViT_deform_LKA import (
+            deformableLKABlock as TorchBlock)
+    torch.manual_seed(0)
+    dim, H, W = 32, 14, 14
+    tb = TorchBlock(dim=dim).eval()
+    # reuse the flagship converter's lka_block mapping by embedding the
+    # block under a decoder_2-style prefix (both lka slots expected)
+    sd = {}
+    for slot in ("layer_lka_1", "layer_lka_2"):
+        for k, v in tb.state_dict().items():
+            sd[f"decoder_2.{slot}.{k}"] = v.detach().numpy()
+    variables = convert_maxvit_dlka(sd)
+
+    x = np.random.RandomState(1).randn(1, H * W, dim).astype(np.float32)
+    with torch.no_grad():
+        y_t = tb(torch.tensor(x), H, W).numpy()  # (B, N, C)
+
+    from deformablelka_tpu.nn.lka2d import deformableLKABlock
+    blk = deformableLKABlock(deterministic=True)
+    bvars = {"params":
+             variables["params"]["decoder_2"]["layer_lka_1"]}
+    y_j = blk.apply(bvars, jnp.asarray(x.reshape(1, H, W, dim)))
+    y_j = np.asarray(y_j).reshape(1, H * W, dim)
+    scale = np.abs(y_t).max()
+    assert np.abs(y_j - y_t).max() < 1e-4 * max(scale, 1.0), \
+        np.abs(y_j - y_t).max()

@@ -1,0 +1,104 @@
+"""GOLDEN parity tests against the REAL reference 3D code.
+
+These import /root/reference/3D (d_lka_former) on CPU torch via
+tests/reference_harness.py shims (D3D → F.grid_sample trilinear; monai →
+minimal Convolution/UnetResBlock factories), build the actual
+D_LKA_Former at random init, convert the state_dict with
+deformablelka_tpu.convert.convert_dlka_former, and assert activation
+parity in fp32. A failure here is a real converter or architecture bug
+vs the published code.
+
+Reference entry points exercised:
+  D_LKA_Former                  3D/.../synapse/d_lka_former_synapse.py:8-167
+  TransformerBlock_3D_single_deform_LKA  .../transformerblock.py:570-630
+  deformable 3D sampling rule   3D/dcn/src/cuda/deform_im2col_cuda.cuh:192-265
+    (shim re-expresses it with torch grid_sample; validated below
+    against this repo's independent numpy loop reference)
+
+The flagship block family ignores `input_size` (no pos-embed, no EPA
+E/F projections — transformerblock.py:609-615), and
+D_LKA_Former.forward only consumes img_size via proj_feat
+(d_lka_former_synapse.py:139-156), so full-model golden parity can run
+at a small crop (16, 32, 32) where CPU compile stays in budget.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo/tests")
+import reference_harness as rh  # noqa: E402
+from references import deform_conv3d_ref  # noqa: E402
+
+from deformablelka_tpu.convert.torch_loader import convert_dlka_former
+from deformablelka_tpu.models.dlka_former import DLKAFormer
+
+
+# ---------------------------------------------------------------------------
+# Shim self-checks: grid_sample-based D3D vs the independent numpy loop
+# ---------------------------------------------------------------------------
+
+def test_shim_deform_conv3d_zero_offset_equals_conv():
+    torch.manual_seed(0)
+    for (cin, cout, g, dg, k, pad) in [(4, 4, 1, 1, 3, 1),
+                                       (6, 4, 2, 3, 3, 1),
+                                       (4, 4, 1, 2, 5, 2)]:
+        x = torch.randn(2, cin, 7, 6, 5, dtype=torch.float64)
+        w = torch.randn(cout, cin // g, k, k, k, dtype=torch.float64)
+        b = torch.randn(cout, dtype=torch.float64)
+        off = torch.zeros(2, dg * 3 * k ** 3, 7, 6, 5, dtype=torch.float64)
+        y1 = rh._deform_conv3d(x, off, w, b, (1, 1, 1), (pad,) * 3,
+                               (1, 1, 1), g, dg)
+        y2 = torch.nn.functional.conv3d(x, w, b, 1, pad, 1, g)
+        assert float((y1 - y2).abs().max()) < 1e-12
+
+
+def test_shim_deform_conv3d_matches_numpy_reference():
+    rng = np.random.RandomState(0)
+    cin = cout = 4
+    k, pad = 3, 1
+    x = rng.randn(2, 6, 5, 7, cin)
+    off = rng.randn(2, 6, 5, 7, 3 * k ** 3) * 2.0
+    w = rng.randn(k, k, k, cin, cout)
+    b = rng.randn(cout)
+    ref = deform_conv3d_ref(x, off, w, b, 1, pad)
+    y = rh._deform_conv3d(
+        torch.tensor(x.transpose(0, 4, 1, 2, 3)),
+        torch.tensor(off.transpose(0, 4, 1, 2, 3)),
+        torch.tensor(w.transpose(4, 3, 0, 1, 2)),
+        torch.tensor(b), (1, 1, 1), (pad,) * 3, (1, 1, 1), 1, 1)
+    np.testing.assert_allclose(
+        y.numpy().transpose(0, 2, 3, 4, 1), ref, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Golden: full 3D flagship at a small crop
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_golden_3d_flagship_full_model_parity():
+    depths = (2, 1, 1, 1)   # exercises stacked blocks in stage 0
+    ref = rh.build_reference_3d_flagship(num_classes=4, seed=0,
+                                         crop_size=(16, 32, 32),
+                                         depths=depths)
+    sd = rh.state_dict_numpy(ref)
+    variables = convert_dlka_former(sd, depths=depths)
+
+    x = np.random.RandomState(0).randn(1, 1, 16, 32, 32).astype(np.float32)
+    with torch.no_grad():
+        ys_t = [y.numpy() for y in ref(torch.tensor(x))]
+
+    model = DLKAFormer(out_channels=4, img_size=(16, 32, 32),
+                       depths=depths, do_ds=True)
+    ys_j = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 4, 1)))
+    assert len(ys_j) == len(ys_t) == 3
+    for i, (yj, yt) in enumerate(zip(ys_j, ys_t)):
+        a = np.asarray(yj).transpose(0, 4, 1, 2, 3)
+        scale = max(np.abs(yt).max(), 1.0)
+        assert a.shape == yt.shape
+        assert np.abs(a - yt).max() < 2e-4 * scale, \
+            f"head {i}: {np.abs(a - yt).max()} vs out scale {scale}"
