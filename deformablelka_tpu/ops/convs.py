@@ -174,6 +174,20 @@ def conv3d(x, w, *, stride=1, padding="same", dilation=1, groups: int = 1,
             return _depthwise3d_zdecomp(x, w, dil[0], bias)
         if dw_impl == "atrous":
             return _depthwise3d_atrous(x, w, dil[0], bias)
+        if dw_impl == "pallas":
+            # Hand Pallas stencil (ops/pallas/dwconv3d_kernel):
+            # exact-f32 per-tap VPU accumulation over à-trous phases.
+            # Measured SLOWER than the lax emitter in the 2026-08-17
+            # session (K7d3 stage-1: 25.9 vs 6.8 ms) — but exact where
+            # DEFAULT-precision lax is bf16-ish (~2e-3 rel error at
+            # C=32 large shapes, PERF.md). Opt-in / insurance against
+            # the 85 ms emitter sessions.
+            from deformablelka_tpu.ops.pallas.dwconv3d_kernel import (
+                depthwise_conv3d_pallas, dwconv3d_supported)
+            B, D, H, W, C = x.shape
+            if dwconv3d_supported(C, D, H, W, k, dil[0]):
+                out = depthwise_conv3d_pallas(x, w, k, dil[0])
+                return out if bias is None else out + bias.astype(out.dtype)
     if (w.shape[:3] == (3, 3, 3) and st == (1, 1, 1) and dil == (1, 1, 1)
             and groups == 1 and tuple(padding) == ((1, 1),) * 3):
         impl = os.environ.get("DLKA_CONV_IMPL", "auto")

@@ -5,6 +5,7 @@ import jax
 import jax.numpy as jnp
 
 
+@pytest.mark.slow
 def test_daeformer_shapes():
     from deformablelka_tpu.models.daeformer import DAEFormer
     m = DAEFormer(num_classes=9, dims=(32, 80, 128), layers=(1, 1, 1))
@@ -23,6 +24,7 @@ def test_segformer_shapes():
     assert out.shape == (1, 224, 224, 9)
 
 
+@pytest.mark.slow
 def test_swinunet_shapes():
     from deformablelka_tpu.models.swinunet import SwinUNet
     m = SwinUNet(num_classes=4, img_size=224, embed_dim=24,
@@ -49,6 +51,7 @@ def test_swin_window_roundtrip():
     assert idx.max() == (2 * 7 - 1) ** 2 - 1
 
 
+@pytest.mark.slow
 def test_dat_lka_shapes_and_grid_sample():
     from deformablelka_tpu.models.dat_lka import DATLKAFormer
     m = DATLKAFormer(num_classes=9, dims=(16, 32, 64, 128),

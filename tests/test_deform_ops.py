@@ -164,6 +164,7 @@ def test_dispatcher_window_parity_with_gather():
     np.testing.assert_allclose(out2, ref2, atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_window_grad_flows():
     """The window path must be differentiable (training uses it)."""
     from deformablelka_tpu.ops.deform3d import deform_conv3d_window
@@ -203,6 +204,7 @@ def test_conv3d_im2col_parity():
     np.testing.assert_allclose(a, ref, atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_pallas_deform_interpret_parity_and_grad():
     """Pallas kernel (interpret mode) vs gather reference + VJP check."""
     from deformablelka_tpu.ops.pallas.deform3d_kernel import (
@@ -287,3 +289,30 @@ def test_atrous_dilated_depthwise_parity():
         ref = depthwise_conv3d(x, w, dilation=d)
         got = _depthwise3d_atrous(x, w, d, None)
         np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-5)
+
+
+def test_dwconv3d_pallas_interpret_parity():
+    """ops/pallas/dwconv3d_kernel: exact-f32 depthwise stencil (direct
+    dense path + a-trous phase split for dilation) vs the lax emitter
+    on CPU. On-device the lax DEFAULT-precision emitter is bf16-ish at
+    some shapes (PERF.md 2026-08-17) — this kernel is the exact-f32
+    reference formulation."""
+    from deformablelka_tpu.ops.pallas.dwconv3d_kernel import (
+        depthwise_conv3d_pallas)
+    from deformablelka_tpu.ops.convs import depthwise_conv3d
+
+    rng = np.random.RandomState(0)
+    for (sp, C, K, dil) in [((8, 16, 16), 32, 5, 1),
+                            ((8, 16, 16), 32, 7, 3),
+                            ((4, 8, 8), 256, 3, 1),
+                            ((10, 14, 22), 8, 7, 3)]:
+        x = jnp.asarray(rng.randn(2, *sp, C), jnp.float32)
+        w = jnp.asarray(rng.randn(K, K, K, 1, C), jnp.float32)
+        y1 = depthwise_conv3d_pallas(x, w, K, dil, True)
+        y2 = depthwise_conv3d(x, w, padding=(K // 2) * dil, dilation=dil)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                                   atol=2e-4)
+        # grad path (delegated XLA VJP) must flow
+        g = jax.grad(lambda x: jnp.sum(
+            depthwise_conv3d_pallas(x, w, K, dil, True) ** 2))(x[:1])
+        assert np.isfinite(np.asarray(g)).all()

@@ -11,6 +11,10 @@ import pytest
 from deformablelka_tpu.models.dlka_former import DLKAFormer
 
 
+def test_forward_shapes_fast_variant():
+    test_forward_shapes("TransformerBlock_3D_LKA")
+
+
 def _build(trans_block, img=(16, 32, 32), patch=(2, 4, 4), ncls=4):
     model = DLKAFormer(out_channels=ncls, img_size=img, patch_size=patch,
                        do_ds=True, trans_block=trans_block)
@@ -19,10 +23,10 @@ def _build(trans_block, img=(16, 32, 32), patch=(2, 4, 4), ncls=4):
     return model, variables, x
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("trans_block", [
     "TransformerBlock",
     "TransformerBlock_3D_single_deform_LKA",
-    "TransformerBlock_3D_LKA",
 ])
 def test_forward_shapes(trans_block):
     img, ncls = (16, 32, 32), 4
@@ -48,6 +52,7 @@ def test_param_count_synapse_flagship():
     assert 40e6 < n < 45e6, f"param count {n/1e6:.2f}M vs published 42.35M"
 
 
+@pytest.mark.slow
 def test_generic_unet_shapes_and_plans():
     """GenericUNet (generic_UNet.py baseline): DS output pyramid + plans
     construction."""
@@ -68,6 +73,7 @@ def test_generic_unet_shapes_and_plans():
     assert out.shape == (1, 8, 16, 16, 2)
 
 
+@pytest.mark.slow
 def test_pancreas_baselines_shapes():
     """VNet / ResSegNet3D / UNETRMini (pancreas baseline zoo,
     3D/pancreas_code/networks/{vnet,ResNet34,unetr}.py)."""

@@ -1,6 +1,7 @@
 """2D flagship smoke tests: output shape + published param count
 (101.64 M, BASELINE.md Synapse_2D)."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -22,6 +23,7 @@ def test_param_count_2d_flagship():
     assert 75e6 < n < 82e6, f"{n/1e6:.2f}M live params (78.6M expected)"
 
 
+@pytest.mark.slow
 def test_forward_shape_small():
     """Full forward at reduced 64² resolution (window 2) for CPU speed."""
     model = MaxViTDeformableLKAFormer(num_classes=9, img_size=64)
@@ -32,6 +34,7 @@ def test_forward_shape_small():
     assert np.isfinite(np.asarray(y)).all()
 
 
+@pytest.mark.slow
 def test_lka_baseline_smaller_and_runs():
     """deformable=False = the paper's LKA Baseline (MaxViT_LKA_Decoder.py):
     same decoder without offset nets / deform sampling → strictly fewer

@@ -87,6 +87,7 @@ class _TinyFactoryModel:
     pass
 
 
+@pytest.mark.slow
 def test_model_restore_roundtrip(tmp_path):
     import jax
     import jax.numpy as jnp

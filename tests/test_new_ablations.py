@@ -51,6 +51,7 @@ def test_dae_lka_shapes():
     assert m.apply(v, x).shape == (1, 224, 224, 9)
 
 
+@pytest.mark.slow
 def test_transunet_shapes_and_sigmoid():
     from deformablelka_tpu.models.transunet import TransUNet
     m = TransUNet(num_classes=1, img_size=224, hidden=32, num_layers=2,
@@ -85,6 +86,7 @@ def test_transunet_resnet_skip_grid():
     assert [s.shape[-1] for s in skips] == [512, 256, 64]
 
 
+@pytest.mark.slow
 def test_hiformer_shapes():
     from deformablelka_tpu.models.hiformer import HiFormer
     m = HiFormer(num_classes=1, img_size=224, swin_dims=(16, 32, 64),

@@ -91,6 +91,7 @@ def test_ct2_and_rgb_preprocessing():
     assert 0.0 <= d2.min() and d2.max() <= 1.0
 
 
+@pytest.mark.slow
 def test_residual_generic_unet_forward():
     import jax
     import jax.numpy as jnp

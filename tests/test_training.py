@@ -1,5 +1,6 @@
 """Loss-function unit tests + multichip training-step dry run."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -62,6 +63,7 @@ def test_other_losses_finite():
         assert np.isfinite(float(l))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8dev():
     """The driver's multichip validation path on the virtual CPU mesh."""
     import __graft_entry__
