@@ -43,7 +43,17 @@ DEFORM_WINDOW_RADIUS = int(_os.environ.get("DLKA_DEFORM_RADIUS", "2"))
 def deform_conv2d(x, offset, w, bias=None, *, stride=1, padding=0,
                   dilation=1, groups: int = 1):
     from deformablelka_tpu.ops.convs import _tuple as _t
-    if _impl() == "window" and tuple(_t(stride, 2)) == (1, 1):
+    impl = _impl()
+    if impl == "pallas":
+        from deformablelka_tpu.ops.pallas.deform2d_kernel import (
+            deform_dw_conv2d_pallas, pallas2d_supported)
+        dl = _t(dilation, 2)[0]
+        if pallas2d_supported(w.shape, stride, _t(padding, 2), dilation,
+                              groups, x.shape[-1], x.shape[1:3]):
+            out = deform_dw_conv2d_pallas(x, offset, w,
+                                          DEFORM_WINDOW_RADIUS, dl)
+            return out if bias is None else out + bias.astype(out.dtype)
+    if impl in ("window", "pallas") and tuple(_t(stride, 2)) == (1, 1):
         return deform_conv2d_window(
             x, offset, w, bias, stride=stride, padding=padding,
             dilation=dilation, groups=groups,

@@ -316,3 +316,34 @@ def test_dwconv3d_pallas_interpret_parity():
         g = jax.grad(lambda x: jnp.sum(
             depthwise_conv3d_pallas(x, w, K, dil, True) ** 2))(x[:1])
         assert np.isfinite(np.asarray(g)).all()
+
+
+def test_deform2d_pallas_interpret_parity_and_grad():
+    """ops/pallas/deform2d_kernel: dense-window depthwise deformable 2D
+    conv vs the numpy loop reference (exact for |offset| <= R), plus
+    grad flow through the delegated window VJP."""
+    import sys
+    sys.path.insert(0, "/root/repo/tests")
+    from references import deform_conv2d_ref
+    from deformablelka_tpu.ops.pallas.deform2d_kernel import (
+        deform_dw_conv2d_pallas)
+
+    rng = np.random.RandomState(0)
+    for (H, W, C, kk, dil, R) in [(16, 16, 96, 5, 1, 2),
+                                  (8, 8, 256, 7, 3, 1)]:
+        x = rng.randn(1, H, W, C).astype(np.float32)
+        off = (rng.rand(1, H, W, 2 * kk * kk).astype(np.float32) * 2
+               - 1) * R
+        w = rng.randn(kk, kk, 1, C).astype(np.float32)
+        y = deform_dw_conv2d_pallas(jnp.asarray(x), jnp.asarray(off),
+                                    jnp.asarray(w), R, dil, True)
+        ref = deform_conv2d_ref(x, off, w, None, 1, (kk // 2) * dil,
+                                dil, C)
+        np.testing.assert_allclose(np.asarray(y), ref, atol=2e-4)
+
+    g = jax.grad(lambda x, off, w: jnp.sum(deform_dw_conv2d_pallas(
+        x, off, w, 1, 1, True) ** 2), argnums=(0, 1, 2))(
+        jnp.asarray(x[..., :32]), jnp.asarray(off[:, :, :, :50]),
+        jnp.asarray(w[:5, :5, :, :32][:, :, :, :]))
+    for t in g:
+        assert np.isfinite(np.asarray(t)).all()
