@@ -244,18 +244,20 @@ def deform_conv2d_window(x, offset, w, bias=None, *, stride=1, padding=0,
     else:
         w_k = w.reshape(K, cpg, groups, opg).transpose(0, 2, 1, 3)
 
+    # window needs only s in [-R, R] — see the span derivation in
+    # deform3d.deform_conv3d_window (the ±(R+1) corners carry weight 0
+    # for clipped offsets)
     base_min = min(-ph, -pw)
     base_max = max((kh - 1) * dh - ph, (kw - 1) * dw - pw)
-    lo = radius + 1 - base_min
-    hi = radius + 1 + base_max
+    lo = radius - base_min
+    hi = radius + base_max
     xp = jnp.pad(x, ((0, 0), (lo, hi), (lo, hi), (0, 0)))
 
-    span = 2 * (radius + 1) + 1
+    span = 2 * radius + 1
 
     def tap_body(acc, kt):
         off_k, tap, wt = kt
-        s_range = jnp.arange(-(radius + 1), radius + 2,
-                             dtype=compute_dtype)
+        s_range = jnp.arange(-radius, radius + 1, dtype=compute_dtype)
         hy = jnp.maximum(0.0, 1.0 - jnp.abs(
             off_k[..., 0][None] - s_range[:, None, None, None]))
         hx = jnp.maximum(0.0, 1.0 - jnp.abs(
@@ -265,8 +267,8 @@ def deform_conv2d_window(x, offset, w, bias=None, *, stride=1, padding=0,
             for ix in range(span):
                 wgt = (hy[iy] * hx[ix])[..., None]
                 start = (0,
-                         lo + tap[0] + iy - (radius + 1),
-                         lo + tap[1] + ix - (radius + 1),
+                         lo + tap[0] + iy - radius,
+                         lo + tap[1] + ix - radius,
                          0)
                 xs = jax.lax.dynamic_slice(xp, start, (B, Ho, Wo, C))
                 samp = samp + wgt * xs

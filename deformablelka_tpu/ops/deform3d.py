@@ -293,21 +293,26 @@ def deform_conv3d_window(x, offset, w, bias=None, *, stride=1, padding=0,
         w_k = w.reshape(K, cpg, groups, opg).transpose(0, 2, 1, 3)
 
     # pad once for the largest possible static shift:
-    # tap base ∈ [-p, (k-1)d-p], plus window span [-(R+1), R+1]
+    # tap base ∈ [-p, (k-1)d-p], plus window span [-R, R]. The window
+    # needs only s ∈ [-R, R]: for clipped Δ ∈ [-R, R] the hat
+    # hat(Δ-s) = max(0, 1-|Δ-s|) is nonzero only for s ∈ (Δ-1, Δ+1) ⊂
+    # (-R-1, R+1), and at the boundary Δ = ±R the s = ±(R+1) corner has
+    # weight exactly 0 (trilinear frac = 0). The previous
+    # [-(R+1), R+1] span evaluated (2R+3)³ terms where (2R+1)³ carry
+    # all the mass — a 2.7x term reduction at R=2, 4.6x at R=1.
     base_min = min(-pd, -ph, -pw)
     base_max = max((kd - 1) * dd - pd, (kh - 1) * dh - ph,
                    (kw - 1) * dw - pw)
-    lo = radius + 1 - base_min
-    hi = radius + 1 + base_max
+    lo = radius - base_min
+    hi = radius + base_max
     xp = jnp.pad(x, ((0, 0), (lo, hi), (lo, hi), (lo, hi), (0, 0)))
 
-    span = 2 * (radius + 1) + 1  # window offsets in [-(R+1), R+1]
+    span = 2 * radius + 1  # window offsets in [-R, R]
 
     def tap_body(acc, kt):
         off_k, tap, wt = kt
         # per-axis hat weights for every window offset: (span, B,D,H,W)
-        s_range = jnp.arange(-(radius + 1), radius + 2,
-                             dtype=compute_dtype)
+        s_range = jnp.arange(-radius, radius + 1, dtype=compute_dtype)
         hz = jnp.maximum(0.0, 1.0 - jnp.abs(
             off_k[..., 0][None] - s_range[:, None, None, None, None]))
         hy = jnp.maximum(0.0, 1.0 - jnp.abs(
@@ -323,9 +328,9 @@ def deform_conv3d_window(x, offset, w, bias=None, *, stride=1, padding=0,
                     # tap only through lax.dynamic_slice on the padded
                     # array; tap is scan-carried data)
                     start = (0,
-                             lo + tap[0] + iz - (radius + 1),
-                             lo + tap[1] + iy - (radius + 1),
-                             lo + tap[2] + ix - (radius + 1),
+                             lo + tap[0] + iz - radius,
+                             lo + tap[1] + iy - radius,
+                             lo + tap[2] + ix - radius,
                              0)
                     xs = jax.lax.dynamic_slice(
                         xp, start, (B, Do, Ho, Wo, C))

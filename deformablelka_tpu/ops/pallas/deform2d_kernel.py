@@ -49,7 +49,7 @@ def _kernel(off_ref, w_ref, xt_ref, out_ref, *, TY, TX, C, kk, dil, R, m):
     xt_ref:  (TY+2m, TX+2m, C) VMEM f32 halo'd tile.
     out_ref: (TY, TX, C).
     """
-    span = 2 * R + 2
+    span = 2 * R + 1  # s ∈ [-R, R]; ±(R+1) corners are zero-weight
     K = kk * kk
     pad = (kk // 2) * dil
 
@@ -114,7 +114,7 @@ def _forward(x, offset, w, radius: int, dil: int,
     kk = w.shape[0]
     K = kk * kk
     R = radius
-    m = (kk // 2) * dil + R + 1
+    m = (kk // 2) * dil + R
     CB = min(C, MAX_LANES)
     n_c = C // CB
     TY, TX = _tile_of(H), _tile_of(W)
@@ -138,7 +138,7 @@ def _forward(x, offset, w, radius: int, dil: int,
 
     kern = functools.partial(_kernel, TY=TY, TX=TX, C=CB, kk=kk, dil=dil,
                              R=R, m=m)
-    span = 2 * R + 2
+    span = 2 * R + 1
     out = pl.pallas_call(
         kern,
         grid=(n_c, B * n_t),

@@ -83,7 +83,8 @@ def _sample_kernel(off_ref, xt_ref, out_ref, *, TZ, TY, TX, C, R, m):
     bz = k // 9 - 1
     by = (k // 3) % 3 - 1
     bx = k % 3 - 1
-    span = 2 * R + 2  # window s ∈ [-R, R+1]
+    span = 2 * R + 1  # window s ∈ [-R, R]; the R+1 corner carries
+    # weight 0 for clipped offsets (see deform3d.deform_conv3d_window)
 
     def win_body(widx, samp):
         dz = jnp.clip(off_ref[0], -R, R)
@@ -125,7 +126,7 @@ def _sample_kernel_v2(off_ref, xt_ref, out_ref, *, TZ, TY, TX, C, R, m,
     off_ref: (3, TZ, TY, TX); xt_ref: (TZ+2m, TY+2m, TX+2m, F·C) packed
     halo tile (lane g·C+c = x at w+g); out_ref: (TZ, TY, TX, C).
     """
-    span = 2 * R + 2
+    span = 2 * R + 1  # s ∈ [-R, R] (±(R+1) corners are zero-weight)
     n_packs = (span + F - 1) // F
     k = pl.program_id(0)
     bz = k // 9 - 1
@@ -191,7 +192,7 @@ def _forward(x, offset, w, radius: int, interpret: bool = False):
     """x: (B, D, H, W, C); offset: (B, D, H, W, 81); w: (3,3,3,C,C)."""
     B, D, H, W, C = x.shape
     R = radius
-    m = R + 2  # window R+1 plus tap base 1
+    m = R + 1  # window R plus tap base 1
     TZ = _tile_of(D, MAX_TILE_Z) if D > MAX_TILE else _tile_of(D)
     TY, TX = _tile_of(H), _tile_of(W)
     n_z, n_y, n_x = D // TZ, H // TY, W // TX
@@ -259,7 +260,7 @@ def _forward_v2(x, offset, w, radius: int, interpret: bool = False):
     x: (B, D, H, W, C); offset: (B, D, H, W, 81); w: (3,3,3,C,C)."""
     B, D, H, W, C = x.shape
     R = radius
-    m = R + 2
+    m = R + 1  # window R plus tap base 1
     F = next(f for f in (4, 2, 1) if f * C <= 128)
     TZ = _tile_of(D, MAX_TILE_Z) if D > MAX_TILE else _tile_of(D)
     TY, TX = _tile_of(H), _tile_of(W)
@@ -280,7 +281,7 @@ def _forward_v2(x, offset, w, radius: int, interpret: bool = False):
 
     kern = functools.partial(_sample_kernel_v2, TZ=TZ, TY=TY, TX=TX,
                              C=C, R=R, m=m, F=F)
-    span = 2 * R + 2
+    span = 2 * R + 1
     n_packs = (span + F - 1) // F
     flops = D * H * W * F * C * 27 * 2 * (span * span * n_packs + 2)
 
