@@ -26,18 +26,23 @@ import os as _os
 
 def _impl() -> str:
     """Deform-conv implementation (DLKA_DEFORM_IMPL):
-    'gather'  — reference-exact, unbounded offsets; best END-TO-END on
-                the round-1 tunneled chip (PERF.md), so the default.
-    'window'  — XLA dense-window, exact for |Δ|≤radius.
-    'pallas'  — lane-packed Pallas kernel (VMEM window + MXU
-                mixing). Fast mode: DLKA_DEFORM_IMPL=pallas
-                DLKA_DEFORM_RADIUS=1 beats the exact gather 1.4x at
-                the stage-1 shape (PERF.md), clipping offsets to
-                |d| <= 1."""
+    'gather'  — reference-exact, unbounded offsets.
+    'window'  — XLA dense-window, exact for |Δ|≤radius (clips beyond).
+    'pallas'  — Pallas window kernel (VMEM tiles + MXU mixing), same
+                clip semantics as 'window'.
+    'hybrid'  — EXACT for any offsets: a traced `lax.cond` on
+                max|Δ| ≤ R picks the window/pallas fast path when it
+                is lossless and falls back to the gather otherwise.
+                Trained checkpoints measure absmax(Δ)=0.034 (PERF.md
+                2026-08-17), so the fast branch always runs in
+                practice while the semantics stay reference-exact."""
     return _os.environ.get("DLKA_DEFORM_IMPL", "gather")
 
 
 DEFORM_WINDOW_RADIUS = int(_os.environ.get("DLKA_DEFORM_RADIUS", "2"))
+# hybrid uses the smallest (fastest) window since exactness no longer
+# depends on the clip: (2R+1)^3 window terms with R=1 → 27 per tap
+HYBRID_RADIUS = int(_os.environ.get("DLKA_HYBRID_RADIUS", "1"))
 
 
 def deform_conv2d(x, offset, w, bias=None, *, stride=1, padding=0,
@@ -67,6 +72,36 @@ def deform_conv3d(x, offset, w, bias=None, *, stride=1, padding=0,
                   dilation=1, groups: int = 1):
     from deformablelka_tpu.ops.convs import _tuple as _t
     impl = _impl()
+    if (impl == "hybrid" and tuple(_t(stride, 3)) == (1, 1, 1)):
+        import jax as _jax
+        import jax.numpy as _jnp
+        from deformablelka_tpu.ops.pallas.deform3d_kernel import (
+            deform_conv3d_pallas, pallas_supported)
+        R = HYBRID_RADIUS
+        kd, kh, kw = w.shape[:3]
+        use_pallas = pallas_supported(
+            kd, kh, kw, stride, padding, dilation, groups,
+            x.shape[-1], w.shape[-1], spatial=x.shape[1:4])
+
+        def fast(ops):
+            x, offset, w = ops
+            if use_pallas:
+                out = deform_conv3d_pallas(x, offset, w, R)
+            else:
+                out = deform_conv3d_window(
+                    x, offset, w, None, stride=stride, padding=padding,
+                    dilation=dilation, groups=groups, radius=R)
+            return out.astype(x.dtype)
+
+        def slow(ops):
+            x, offset, w = ops
+            return deform_conv3d_gather(
+                x, offset, w, None, stride=stride, padding=padding,
+                dilation=dilation, groups=groups).astype(x.dtype)
+
+        small = _jnp.max(_jnp.abs(offset.astype(_jnp.float32))) <= R
+        out = _jax.lax.cond(small, fast, slow, (x, offset, w))
+        return out if bias is None else out + bias.astype(out.dtype)
     if impl in ("window", "pallas"):
         from deformablelka_tpu.ops.pallas.deform3d_kernel import (
             deform_conv3d_pallas, pallas_supported)

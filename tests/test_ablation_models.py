@@ -1,5 +1,6 @@
 """Ablation model zoo: DAEFormer, SegFormer, SwinUNet shape tests."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
