@@ -79,9 +79,15 @@ def deform_conv3d(x, offset, w, bias=None, *, stride=1, padding=0,
             deform_conv3d_pallas, pallas_supported)
         R = HYBRID_RADIUS
         kd, kh, kw = w.shape[:3]
-        use_pallas = pallas_supported(
-            kd, kh, kw, stride, padding, dilation, groups,
-            x.shape[-1], w.shape[-1], spatial=x.shape[1:4])
+        # measured 2026-08-17 (PERF.md): at R=1 the 27-term XLA window
+        # beats the pallas kernel (10.4 vs 11.4 ms at stage-0), so the
+        # fast branch defaults to window; DLKA_HYBRID_FAST=pallas
+        # opts back in.
+        use_pallas = (_os.environ.get("DLKA_HYBRID_FAST") == "pallas"
+                      and pallas_supported(
+                          kd, kh, kw, stride, padding, dilation, groups,
+                          x.shape[-1], w.shape[-1],
+                          spatial=x.shape[1:4]))
 
         def fast(ops):
             x, offset, w = ops

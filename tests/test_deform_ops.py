@@ -347,3 +347,29 @@ def test_deform2d_pallas_interpret_parity_and_grad():
         jnp.asarray(w[:5, :5, :, :32][:, :, :, :]))
     for t in g:
         assert np.isfinite(np.asarray(t)).all()
+
+
+def test_hybrid_dispatch_exact_both_branches(monkeypatch):
+    """DLKA_DEFORM_IMPL=hybrid must be reference-exact whichever branch
+    the traced lax.cond takes: window/pallas when max|off| <= R, gather
+    beyond."""
+    import sys
+    sys.path.insert(0, "/root/repo/tests")
+    from references import deform_conv3d_ref
+    from deformablelka_tpu import ops as dops
+
+    monkeypatch.setenv("DLKA_DEFORM_IMPL", "hybrid")
+    rng = np.random.RandomState(0)
+    x = rng.randn(1, 6, 8, 8, 8).astype(np.float32)
+    w = rng.randn(3, 3, 3, 8, 8).astype(np.float32)
+    for scale in (0.5, 3.0):   # fast branch / gather fallback
+        off = (rng.rand(1, 6, 8, 8, 81).astype(np.float32) * 2 - 1) * scale
+        ref = deform_conv3d_ref(x, off, w, None, 1, 1)
+        y = dops.deform_conv3d(jnp.asarray(x), jnp.asarray(off),
+                               jnp.asarray(w), None, stride=1, padding=1)
+        np.testing.assert_allclose(np.asarray(y), ref, atol=2e-4)
+    g = jax.grad(lambda x, o: jnp.sum(dops.deform_conv3d(
+        x, o, jnp.asarray(w), None, stride=1, padding=1) ** 2),
+        argnums=(0, 1))(jnp.asarray(x), jnp.asarray(off * 0.1))
+    for t in g:
+        assert np.isfinite(np.asarray(t)).all()
