@@ -405,3 +405,140 @@ def load_maxvit_backbone(path: str, params: dict) -> dict:
     _convert_maxvit_backbone(new_params, stats, sd, prefix=prefix,
                              jprefix="backbone")
     return new_params
+
+
+# ---------------------------------------------------------------------------
+# DAEFormer (2D/networks/DAEFormer.py) — name-mirrored conversion
+# ---------------------------------------------------------------------------
+
+def convert_daeformer(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Build {"params": ...} for models.daeformer.DAEFormer from a
+    reference DAEFormer state_dict (2D/networks/DAEFormer.py).
+
+    The flax module tree mirrors the torch names, so conversion is a
+    name walk: `blockK.N` → `blockK_N`, 1-D `weight` → `scale`
+    (LayerNorm), conv OIHW → HWIO, linear (out,in) → (in,out).
+    Dead reference params are skipped: MixFFN_skip allocates
+    norm2/norm3 it never calls (segformer.py:206-220).
+    """
+    import re
+
+    sd = _strip_prefix(sd)
+    params: dict = {}
+    for key, v in sd.items():
+        parts = key.split(".")
+        # skip MixFFN_skip dead norms
+        if (len(parts) >= 3 and parts[-2] in ("norm2", "norm3")
+                and parts[-3] in ("mlp", "mlp1", "mlp2")):
+            continue
+        out_parts = []
+        i = 0
+        while i < len(parts):
+            p = parts[i]
+            if (re.fullmatch(r"block[0-9]", p)
+                    and i + 1 < len(parts) and parts[i + 1].isdigit()):
+                out_parts.append(f"{p}_{parts[i + 1]}")
+                i += 2
+                continue
+            out_parts.append(p)
+            i += 1
+        arr = np.asarray(v)
+        if arr.ndim == 1 and out_parts[-1] == "weight":
+            out_parts[-1] = "scale"
+        elif arr.ndim == 4:
+            arr = arr.transpose(2, 3, 1, 0)
+        elif arr.ndim == 2:
+            arr = arr.T
+        _set(params, "/".join(out_parts), arr)
+    return {"params": params}
+
+
+# ---------------------------------------------------------------------------
+# SwinUNet (2D/networks/swinunet.py SwinTransformerSys)
+# ---------------------------------------------------------------------------
+
+def convert_swinunet(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Build {"params": ...} for models.swinunet.SwinUNet from a
+    reference SwinTransformerSys state_dict.
+
+    Mapping (reference module → flax name):
+      patch_embed.proj/.norm → patch_embed / embed_norm
+      layers.s.blocks.b      → enc{s}_b{b}
+      layers.s.downsample    → merge{s}
+      layers_up.0            → expand2 (the bottleneck PatchExpand)
+      layers_up.i>0.blocks.b → dec{3-i}_b{b}; .upsample → expand{2-i}
+      concat_back_dim.i      → concat_linear{3-i}
+      norm / norm_up / up / output → norm / norm_up / final_expand /
+      output (bias-free 1×1 conv → kernel)
+    Buffers (relative_position_index, attn_mask) are recomputed by the
+    flax module and skipped here.
+    """
+    sd = _strip_prefix(sd)
+    params: dict = {}
+
+    def put(jpath, key, kind):
+        arr = np.asarray(sd[key])
+        if kind == "linear":
+            arr = arr.T
+        elif kind == "conv":
+            arr = arr.transpose(2, 3, 1, 0)
+        _set(params, jpath, arr)
+
+    def norm(jpath, tkey):
+        _set(params, f"{jpath}/scale", sd[f"{tkey}.weight"])
+        _set(params, f"{jpath}/bias", sd[f"{tkey}.bias"])
+
+    def swin_block(jp, tp):
+        norm(f"{jp}/norm1", f"{tp}.norm1")
+        norm(f"{jp}/norm2", f"{tp}.norm2")
+        _set(params, f"{jp}/attn/relative_position_bias_table",
+             sd[f"{tp}.attn.relative_position_bias_table"])
+        put(f"{jp}/attn/qkv/weight", f"{tp}.attn.qkv.weight", "linear")
+        put(f"{jp}/attn/qkv/bias", f"{tp}.attn.qkv.bias", "none")
+        put(f"{jp}/attn/proj/weight", f"{tp}.attn.proj.weight", "linear")
+        put(f"{jp}/attn/proj/bias", f"{tp}.attn.proj.bias", "none")
+        put(f"{jp}/fc1/weight", f"{tp}.mlp.fc1.weight", "linear")
+        put(f"{jp}/fc1/bias", f"{tp}.mlp.fc1.bias", "none")
+        put(f"{jp}/fc2/weight", f"{tp}.mlp.fc2.weight", "linear")
+        put(f"{jp}/fc2/bias", f"{tp}.mlp.fc2.bias", "none")
+
+    put("patch_embed/kernel", "patch_embed.proj.weight", "conv")
+    put("patch_embed/bias", "patch_embed.proj.bias", "none")
+    norm("embed_norm", "patch_embed.norm")
+
+    depths = [0, 0, 0, 0]
+    for s in range(4):
+        b = 0
+        while f"layers.{s}.blocks.{b}.norm1.weight" in sd:
+            swin_block(f"enc{s}_b{b}", f"layers.{s}.blocks.{b}")
+            b += 1
+        depths[s] = b
+        if f"layers.{s}.downsample.reduction.weight" in sd:
+            put(f"merge{s}/reduction/weight",
+                f"layers.{s}.downsample.reduction.weight", "linear")
+            norm(f"merge{s}/norm", f"layers.{s}.downsample.norm")
+
+    # bottleneck expand
+    put("expand2/expand/weight", "layers_up.0.expand.weight", "linear")
+    norm("expand2/norm", "layers_up.0.norm")
+    for i in (1, 2, 3):
+        dec = 3 - i
+        b = 0
+        while f"layers_up.{i}.blocks.{b}.norm1.weight" in sd:
+            swin_block(f"dec{dec}_b{b}", f"layers_up.{i}.blocks.{b}")
+            b += 1
+        if f"layers_up.{i}.upsample.expand.weight" in sd:
+            put(f"expand{dec - 1}/expand/weight",
+                f"layers_up.{i}.upsample.expand.weight", "linear")
+            norm(f"expand{dec - 1}/norm", f"layers_up.{i}.upsample.norm")
+        put(f"concat_linear{dec}/weight",
+            f"concat_back_dim.{i}.weight", "linear")
+        put(f"concat_linear{dec}/bias",
+            f"concat_back_dim.{i}.bias", "none")
+
+    norm("norm", "norm")
+    norm("norm_up", "norm_up")
+    put("final_expand/expand/weight", "up.expand.weight", "linear")
+    norm("final_expand/norm", "up.norm")
+    put("output/kernel", "output.weight", "conv")
+    return {"params": params}

@@ -164,17 +164,20 @@ class SwinUNet(nn.Module):
         dims = [self.embed_dim * 2 ** i for i in range(4)]
         skips = []
         H, W = Hs, Ws
+        # skips are the PRE-block stage inputs (x_downsample.append(x)
+        # BEFORE x = layer(x), swinunet.py:699-703)
         for s in range(4):
+            skips.append((t, H, W))
             for b in range(self.depths[s]):
                 t = SwinBlock(dims[s], self.num_heads[s],
                               self.window_size,
                               shift_size=0 if b % 2 == 0
                               else self.window_size // 2,
                               name=f"enc{s}_b{b}")(t, H, W)
-            skips.append((t, H, W))
             if s < 3:
                 t = PatchMerging(dims[s], name=f"merge{s}")(t, H, W)
                 H, W = H // 2, W // 2
+        t = LayerNorm(name="norm")(t)   # swinunet.py:705 self.norm
         # decoder
         for s in reversed(range(3)):
             m = PatchExpand(name=f"expand{s}")(
@@ -190,6 +193,9 @@ class SwinUNet(nn.Module):
                               shift_size=0 if b % 2 == 0
                               else self.window_size // 2,
                               name=f"dec{s}_b{b}")(t, H, W)
+        t = LayerNorm(name="norm_up")(t)   # swinunet.py:722 norm_up
         m = FinalPatchExpand_X4(name="final_expand")(
             t.reshape(B, H, W, dims[0]))
-        return nn.Conv(self.num_classes, (1, 1), name="output")(m)
+        # output conv is bias-free (swinunet.py:673)
+        return nn.Conv(self.num_classes, (1, 1), use_bias=False,
+                       name="output")(m)

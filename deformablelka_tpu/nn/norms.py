@@ -21,8 +21,13 @@ import flax.linen as nn
 
 
 class LayerNorm(nn.Module):
-    """LayerNorm over the last axis, torch-compatible."""
-    eps: float = 1e-6
+    """LayerNorm over the last axis, torch-compatible.
+
+    Default eps matches torch nn.LayerNorm (1e-5); timm-style modules
+    (e.g. the MaxViT backbone) pass eps=1e-6 explicitly. The 2026-08-17
+    SwinUNet golden bisect showed the 1e-6/1e-5 mismatch is visible at
+    ~1e-3 in decoder activations."""
+    eps: float = 1e-5
     use_bias: bool = True
     use_scale: bool = True
 

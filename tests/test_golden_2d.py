@@ -159,3 +159,65 @@ def test_golden_deformable_lka_block():
     scale = np.abs(y_t).max()
     assert np.abs(y_j - y_t).max() < 1e-4 * max(scale, 1.0), \
         np.abs(y_j - y_t).max()
+
+
+# ---------------------------------------------------------------------------
+# Golden: DAEFormer (dual attention ablation model)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_golden_daeformer_full_model_parity():
+    """Full-model activation parity vs the real reference DAEFormer
+    (2D/networks/DAEFormer.py) at random init via convert_daeformer."""
+    rh.install_all()
+    with rh.no_pretrained_load():
+        from networks.DAEFormer import DAEFormer as TorchDAE
+    torch.manual_seed(0)
+    ref = TorchDAE(num_classes=9).eval()
+
+    from deformablelka_tpu.convert.torch_loader import convert_daeformer
+    from deformablelka_tpu.models.daeformer import DAEFormer
+
+    variables = convert_daeformer(rh.state_dict_numpy(ref))
+    x = np.random.RandomState(0).randn(1, 3, 224, 224).astype(np.float32)
+    with torch.no_grad():
+        y_t = ref(torch.tensor(x)).numpy()
+    model = DAEFormer(num_classes=9)
+    y_j = np.asarray(model.apply(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 1)))).transpose(
+        0, 3, 1, 2)
+    scale = max(np.abs(y_t).max(), 1.0)
+    assert y_j.shape == y_t.shape
+    assert np.abs(y_j - y_t).max() < 2e-4 * scale, \
+        f"{np.abs(y_j - y_t).max()} vs {scale}"
+
+
+# ---------------------------------------------------------------------------
+# Golden: SwinUNet
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_golden_swinunet_full_model_parity():
+    """Full-model activation parity vs the real reference
+    SwinTransformerSys (2D/networks/swinunet.py) at random init."""
+    rh.install_all()
+    with rh.no_pretrained_load():
+        from networks.swinunet import SwinTransformerSys
+    torch.manual_seed(0)
+    ref = SwinTransformerSys(img_size=224, num_classes=9).eval()
+
+    from deformablelka_tpu.convert.torch_loader import convert_swinunet
+    from deformablelka_tpu.models.swinunet import SwinUNet
+
+    variables = convert_swinunet(rh.state_dict_numpy(ref))
+    x = np.random.RandomState(0).randn(1, 3, 224, 224).astype(np.float32)
+    with torch.no_grad():
+        y_t = ref(torch.tensor(x)).numpy()
+    model = SwinUNet(num_classes=9)
+    y_j = np.asarray(model.apply(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 1)))).transpose(
+        0, 3, 1, 2)
+    scale = max(np.abs(y_t).max(), 1.0)
+    assert y_j.shape == y_t.shape
+    assert np.abs(y_j - y_t).max() < 2e-4 * scale, \
+        f"{np.abs(y_j - y_t).max()} vs {scale}"
