@@ -31,7 +31,8 @@ from deformablelka_tpu.training.losses import (
     dc_and_ce_loss, deep_supervision_weights, poly_lr)
 from deformablelka_tpu.training.train_step import (
     TrainState, init_train_state, make_sgd)
-from deformablelka_tpu.training.checkpoint import CheckpointManager
+from deformablelka_tpu.training.checkpoint import (
+    CheckpointManager, should_save_scheduled)
 
 log = logging.getLogger("deformablelka_tpu.trainer3d")
 
@@ -91,7 +92,10 @@ class Trainer3D:
                  initial_lr=1e-2, momentum=0.99, weight_decay=3e-5,
                  max_num_epochs=1000, num_batches_per_epoch=250,
                  num_val_batches_per_epoch=50, n_ds_outputs=3,
-                 save_every=50, mesh=None, tensorboard_dir=None):
+                 save_every=50, mesh=None, tensorboard_dir=None,
+                 save_intermediate_checkpoints=True,
+                 save_latest_only=False, checkpoint_warmup_epochs=400,
+                 max_scheduled_keep=5):
         self.model = model
         self.output_folder = Path(output_folder)
         self.output_folder.mkdir(parents=True, exist_ok=True)
@@ -118,7 +122,12 @@ class Trainer3D:
         self.all_val_losses = []
         self.all_val_eval_metrics = []
         self.best_val_eval = -np.inf
-        self.ckpt = CheckpointManager(self.output_folder / "ckpt")
+        self.save_intermediate_checkpoints = save_intermediate_checkpoints
+        self.save_latest_only = save_latest_only
+        self.checkpoint_warmup_epochs = checkpoint_warmup_epochs
+        self.ckpt = CheckpointManager(
+            self.output_folder / "ckpt",
+            max_scheduled_keep=max_scheduled_keep)
         self._build()
 
     # -- setup ----------------------------------------------------------
@@ -200,6 +209,17 @@ class Trainer3D:
 
             self.epoch += 1
             if self.epoch % self.save_every == 0:
+                # reference additionally writes an immutable model_ep_%03d
+                # once past the warmup (network_trainer_synapse.py:546-556);
+                # model_latest every save_every is kept unconditionally so
+                # --continue_training works from any point (TPU extra).
+                if (self.save_intermediate_checkpoints
+                        and not self.save_latest_only
+                        and should_save_scheduled(
+                            self.epoch, self.save_every,
+                            self.checkpoint_warmup_epochs)):
+                    self.ckpt.save_scheduled(self.epoch, self.state,
+                                             self._bookkeeping())
                 self.save_checkpoint("model_latest")
                 self.plot_progress()
             self.print_to_log_file(
@@ -220,6 +240,7 @@ class Trainer3D:
                                         self.epoch)
             self._maybe_fallback()
         self.save_checkpoint("model_final_checkpoint")
+        self.ckpt.wait_until_finished()
         self.plot_progress()
         if self._tb is not None:
             self._tb.flush()
@@ -374,13 +395,15 @@ class Trainer3D:
                 self.model.apply, self.tx, self.n_ds_outputs))
 
     # -- checkpointing --------------------------------------------------
-    def save_checkpoint(self, name: str):
-        book = {"epoch": self.epoch,
+    def _bookkeeping(self) -> dict:
+        return {"epoch": self.epoch,
                 "all_tr_losses": self.all_tr_losses,
                 "all_val_losses": self.all_val_losses,
                 "all_val_eval_metrics": self.all_val_eval_metrics,
                 "best_val_eval": self.best_val_eval}
-        self.ckpt.save(name, self.state, book)
+
+    def save_checkpoint(self, name: str):
+        self.ckpt.save(name, self.state, self._bookkeeping())
 
     def load_checkpoint(self, name: str = "model_latest"):
         self.state, book = self.ckpt.load(name, self.state)

@@ -109,3 +109,48 @@ def test_trainer2d_tensorboard_logging(tmp_path):
     tr.run_training()
     events = list((tmp_path / "tb").glob("events.out.tfevents.*"))
     assert events and events[0].stat().st_size > 0
+
+
+def test_checkpoint_scheduled_policy_and_gc(tmp_path):
+    """Scheduled model_ep_* cadence (network_trainer_synapse.py:546-556)
+    + keep-policy GC + async-save join semantics."""
+    from deformablelka_tpu.training.checkpoint import (
+        CheckpointManager, should_save_scheduled)
+
+    # cadence: post-increment epoch E saves iff E % save_every == 0
+    # and E > warmup+1 (== pre-increment e > warmup).
+    assert not should_save_scheduled(400, 50)
+    assert not should_save_scheduled(401, 50)
+    assert should_save_scheduled(450, 50)
+    assert not should_save_scheduled(451, 50)
+    assert should_save_scheduled(500, 50)
+    # reference default save_every=30 (network_trainer_synapse.py:123)
+    assert should_save_scheduled(420, 30)
+
+    cm = CheckpointManager(tmp_path / "ck", max_scheduled_keep=2)
+    state = {"w": jnp.arange(4.0)}
+    for ep in (450, 500, 550):
+        cm.save_scheduled(ep, state, {"epoch": ep})
+    assert cm.scheduled_epochs() == [500, 550]  # 450 GC'd
+    assert not (tmp_path / "ck" / "model_ep_450.json").exists()
+    got, meta = cm.load("model_ep_550", state)
+    assert meta["epoch"] == 550
+    np.testing.assert_allclose(np.asarray(got["w"]), np.arange(4.0))
+
+    # async save: overwrite same name twice back-to-back, then read.
+    cm.save("model_latest", {"w": jnp.ones(4)})
+    cm.save("model_latest", {"w": jnp.full(4, 2.0)})
+    got, _ = cm.load("model_latest", state)
+    np.testing.assert_allclose(np.asarray(got["w"]), 2.0)
+    cm.wait_until_finished()
+
+
+def test_trainer3d_scheduled_checkpoints(tmp_path):
+    """Trainer writes model_ep_* past the warmup gate."""
+    tr = Trainer3D(Tiny3D(), tmp_path, _Gen3D(),
+                   max_num_epochs=4, num_batches_per_epoch=1,
+                   num_val_batches_per_epoch=0, save_every=2,
+                   checkpoint_warmup_epochs=1, max_scheduled_keep=1)
+    tr.run_training()
+    # epochs 2 and 4 hit save_every; both > warmup+1; keep cap 1 -> [4]
+    assert tr.ckpt.scheduled_epochs() == [4]
