@@ -225,9 +225,17 @@ def _convert_deform_conv2d(params, jpath, sd, tkey):
              convert_tensor("", sd[f"{tkey}.deform_conv.weight"], "conv"))
 
 
-def convert_maxvit_dlka(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+def convert_maxvit_dlka(sd: Dict[str, np.ndarray],
+                        deformable: bool = True) -> Dict[str, Any]:
     """Convert a 2D MaxViT_deformableLKAFormer state_dict (.pth) to
-    models.MaxViTDeformableLKAFormer variables."""
+    models.MaxViTDeformableLKAFormer variables.
+
+    deformable=False converts the LKA Baseline (MaxViTLKAFormer,
+    2D/networks/MaxViT_LKA_Decoder.py): the gate convs are plain
+    depthwise convs, and only layer_lka_1 is mapped — the reference
+    forward applies it twice (:612, "LEON CHANGE THIS!"), leaving
+    layer_lka_2's params dead; the flax model reproduces the reuse and
+    never materialises layer_lka_2 (models/maxvit_dlka.DecoderLayer)."""
     sd = _strip_prefix(sd)
     params: dict = {}
     stats: dict = {}
@@ -258,7 +266,11 @@ def convert_maxvit_dlka(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
             put(f"{ja}/{proj}/bias", f"{a}.{proj}.bias", "none")
         g, jg = f"{a}.spatial_gating_unit", f"{ja}/spatial_gating_unit"
         for c in ("conv0", "conv_spatial"):
-            _convert_deform_conv2d(params, f"{jg}/{c}", sd, f"{g}.{c}")
+            if deformable:
+                _convert_deform_conv2d(params, f"{jg}/{c}", sd, f"{g}.{c}")
+            else:
+                put(f"{jg}/{c}/weight", f"{g}.{c}.weight", "conv")
+                put(f"{jg}/{c}/bias", f"{g}.{c}.bias", "none")
         put(f"{jg}/conv1/weight", f"{g}.conv1.weight", "conv")
         put(f"{jg}/conv1/bias", f"{g}.conv1.bias", "none")
         m, jm = f"{tkey}.mlp", f"{jpath}/mlp"
@@ -287,7 +299,8 @@ def convert_maxvit_dlka(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
         put_norm(f"{j}/layer_up/norm", f"{name}.layer_up.norm", False)
         if f"{name}.layer_lka_1.norm1.weight" in sd and idx != 3:
             lka_block(f"{j}/layer_lka_1", f"{name}.layer_lka_1")
-            lka_block(f"{j}/layer_lka_2", f"{name}.layer_lka_2")
+            if deformable:  # non-deform layer_lka_2 is dead (see above)
+                lka_block(f"{j}/layer_lka_2", f"{name}.layer_lka_2")
         put(f"{j}/last_layer/weight", f"{name}.last_layer.weight", "conv")
         put(f"{j}/last_layer/bias", f"{name}.last_layer.bias", "none")
 

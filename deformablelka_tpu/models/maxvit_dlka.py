@@ -51,28 +51,46 @@ class FinalPatchExpand_X4(nn.Module):
 
 
 class DecoderLayer(nn.Module):
-    """MyDecoderLayer (MaxViT_deform_LKA.py:545-620) on NHWC maps."""
+    """MyDecoderLayer (MaxViT_deform_LKA.py:545-620) on NHWC maps.
+
+    `reuse_first_lka` reproduces a reference quirk: every NON-deform
+    LKA-decoder file applies `layer_lka_1` TWICE ("LEON CHANGE THIS!",
+    MaxViT_LKA_Decoder.py:612, DAEEncoder_LKADecoder.py:561,
+    DAT_LKA_Decoder.py:559, mvit_LKA_Decoder.py:559,
+    STViTEncoder_LKADecoder.py:1101), leaving `layer_lka_2`'s params
+    dead (we don't materialise them, like decoder_3's dead x1_linear).
+    Only the deform flagship (MaxViT_deform_LKA.py:612) and the skin
+    copy (skin_code/model/MaxViT_LKA_Decoder.py:559) use layer_lka_2.
+    Default None → follow the reference: reuse iff not deformable;
+    skin builders pass False explicitly."""
     out_dim: int
     n_class: int = 9
     is_last: bool = False
     drop_path: float = 0.0
     deterministic: bool = True
     deformable: bool = True
+    reuse_first_lka: bool | None = None
 
     @nn.compact
     def __call__(self, x1, x2=None):
         # deformable=False → the paper's "LKA Baseline"
         # (2D/networks/MaxViT_LKA_Decoder.py: LKABlock decoder).
         block = deformableLKABlock if self.deformable else LKABlock
+        reuse = (not self.deformable if self.reuse_first_lka is None
+                 else self.reuse_first_lka)
         if x2 is not None:
             x = Linear(self.out_dim, name="x1_linear")(x1)
             x = x + x2
-            x = block(drop_path=self.drop_path,
-                      deterministic=self.deterministic,
-                      name="layer_lka_1")(x)
-            x = block(drop_path=self.drop_path,
-                      deterministic=self.deterministic,
-                      name="layer_lka_2")(x)
+            lka_1 = block(drop_path=self.drop_path,
+                          deterministic=self.deterministic,
+                          name="layer_lka_1")
+            x = lka_1(x)
+            if reuse:
+                x = lka_1(x)
+            else:
+                x = block(drop_path=self.drop_path,
+                          deterministic=self.deterministic,
+                          name="layer_lka_2")(x)
             if self.is_last:
                 x = FinalPatchExpand_X4(name="layer_up")(x)
                 x = Conv2d(self.n_class, 1, use_bias=True,

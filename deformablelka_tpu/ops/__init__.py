@@ -21,7 +21,37 @@ from deformablelka_tpu.ops.deform3d import (
 )
 from deformablelka_tpu.ops.lka import lka2d, lka3d
 
+import contextlib as _contextlib
 import os as _os
+import threading as _threading
+
+_IMPL_OVERRIDE = _threading.local()
+
+
+@_contextlib.contextmanager
+def deform_impl(name: str):
+    """Trace-time override of the deform-conv implementation.
+
+    Dispatch happens while JAX traces, so wrapping the traced region
+    (e.g. the loss closure inside `jax.jit`) pins the impl for that
+    program regardless of DLKA_DEFORM_IMPL. Used by the training step:
+    the window/pallas custom-VJP paths (and therefore 'hybrid', whose
+    lax.cond traces the window branch) crash the remote TPU compile
+    helper inside value_and_grad (PERF.md "Training step", probed
+    2026-08-17: impl=window and impl=hybrid both HTTP 500), while
+    'gather' compiles — so training pins 'gather' unless
+    DLKA_DEFORM_IMPL_TRAIN says otherwise."""
+    prev = getattr(_IMPL_OVERRIDE, "v", None)
+    _IMPL_OVERRIDE.v = name
+    try:
+        yield
+    finally:
+        _IMPL_OVERRIDE.v = prev
+
+
+def train_impl() -> str:
+    """Implementation for training programs (see `deform_impl`)."""
+    return _os.environ.get("DLKA_DEFORM_IMPL_TRAIN", "gather")
 
 
 def _impl() -> str:
@@ -38,6 +68,9 @@ def _impl() -> str:
                 practice while the semantics stay reference-exact.
                 DEFAULT since 2026-08-17: 1.38x the A100 baseline on
                 the full bench protocol vs 0.76x for gather."""
+    v = getattr(_IMPL_OVERRIDE, "v", None)
+    if v is not None:
+        return v
     return _os.environ.get("DLKA_DEFORM_IMPL", "hybrid")
 
 

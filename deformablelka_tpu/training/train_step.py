@@ -64,13 +64,19 @@ def make_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
     (B, *S, C), "label": (B, *S) int}."""
 
     def loss_of(params, batch_stats, batch):
+        from deformablelka_tpu.ops import deform_impl, train_impl
         variables = {"params": params}
         mutable = []
         if batch_stats is not None:
             variables["batch_stats"] = batch_stats
             mutable = ["batch_stats"]
-        out = (apply_fn(variables, batch["image"], mutable=mutable)
-               if mutable else apply_fn(variables, batch["image"]))
+        # Pin the deform impl for the training trace: the window/hybrid
+        # custom-VJP paths crash the remote TPU compiler inside
+        # value_and_grad (ops.deform_impl docstring); gather is exact
+        # and compiles. Override with DLKA_DEFORM_IMPL_TRAIN.
+        with deform_impl(train_impl()):
+            out = (apply_fn(variables, batch["image"], mutable=mutable)
+                   if mutable else apply_fn(variables, batch["image"]))
         new_stats = None
         if mutable:
             out, updated = out

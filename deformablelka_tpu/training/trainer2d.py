@@ -98,10 +98,12 @@ class Trainer2D:
             if batch_stats:
                 variables["batch_stats"] = batch_stats
                 mutable = ["batch_stats"]
-            out = (self.model.apply(variables, batch["image"],
-                                    mutable=mutable)
-                   if mutable else
-                   self.model.apply(variables, batch["image"]))
+            from deformablelka_tpu.ops import deform_impl, train_impl
+            with deform_impl(train_impl()):  # ops.deform_impl docstring
+                out = (self.model.apply(variables, batch["image"],
+                                        mutable=mutable)
+                       if mutable else
+                       self.model.apply(variables, batch["image"]))
             new_stats = None
             if mutable:
                 out, upd = out
@@ -257,8 +259,10 @@ class TrainerSkin:
             if batch_stats:
                 variables["batch_stats"] = batch_stats
                 mutable = ["batch_stats"]
-            out = (model.apply(variables, image, mutable=mutable)
-                   if mutable else model.apply(variables, image))
+            from deformablelka_tpu.ops import deform_impl, train_impl
+            with deform_impl(train_impl()):
+                out = (model.apply(variables, image, mutable=mutable)
+                       if mutable else model.apply(variables, image))
             new_stats = None
             if mutable:
                 out, upd = out

@@ -48,8 +48,10 @@ def make_ds_train_step(apply_fn, tx, n_ds_outputs=3):
         if batch_stats:
             variables["batch_stats"] = batch_stats
             mutable = ["batch_stats"]
-        out = (apply_fn(variables, batch["data"], mutable=mutable)
-               if mutable else apply_fn(variables, batch["data"]))
+        from deformablelka_tpu.ops import deform_impl, train_impl
+        with deform_impl(train_impl()):  # see ops.deform_impl docstring
+            out = (apply_fn(variables, batch["data"], mutable=mutable)
+                   if mutable else apply_fn(variables, batch["data"]))
         new_stats = None
         if mutable:
             out, upd = out
@@ -318,8 +320,12 @@ class Trainer3D:
             if batch_stats is not None:
                 variables["batch_stats"] = batch_stats
                 mutable = ["batch_stats"]
-            out = (model.apply(variables, batch["data"], mutable=mutable)
-                   if mutable else model.apply(variables, batch["data"]))
+            from deformablelka_tpu.ops import deform_impl, train_impl
+            with deform_impl(train_impl()):
+                out = (model.apply(variables, batch["data"],
+                                   mutable=mutable)
+                       if mutable else model.apply(variables,
+                                                   batch["data"]))
             if mutable:
                 out, _ = out
             if not isinstance(out, (list, tuple)):

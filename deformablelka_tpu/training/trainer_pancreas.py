@@ -95,8 +95,10 @@ class TrainerPancreas:
                 if batch_stats is not None:
                     variables["batch_stats"] = batch_stats
                     mutable = ["batch_stats"]
-                out = (model.apply(variables, data, mutable=mutable)
-                       if mutable else model.apply(variables, data))
+                from deformablelka_tpu.ops import deform_impl, train_impl
+                with deform_impl(train_impl()):
+                    out = (model.apply(variables, data, mutable=mutable)
+                           if mutable else model.apply(variables, data))
                 new_stats = None
                 if mutable:
                     out, updated = out

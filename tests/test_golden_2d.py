@@ -221,3 +221,87 @@ def test_golden_swinunet_full_model_parity():
     assert y_j.shape == y_t.shape
     assert np.abs(y_j - y_t).max() < 2e-4 * scale, \
         f"{np.abs(y_j - y_t).max()} vs {scale}"
+
+
+# ---------------------------------------------------------------------------
+# Golden: LKA Baseline (MaxViTLKAFormer — non-deform decoder)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_golden_lka_baseline_full_model_parity():
+    """Full-model parity vs the real MaxViTLKAFormer
+    (2D/networks/MaxViT_LKA_Decoder.py:581-652). Locks in the reference
+    quirk that the non-deform decoder applies layer_lka_1 TWICE
+    (:612 "LEON CHANGE THIS!"), leaving layer_lka_2 dead."""
+    rh.install_all()
+    torch.manual_seed(0)
+    with rh.no_pretrained_load():
+        from networks.MaxViT_LKA_Decoder import MaxViTLKAFormer
+        ref = MaxViTLKAFormer(num_classes=9).eval()
+
+    from deformablelka_tpu.models.maxvit_dlka import maxvit_lka_former
+
+    variables = convert_maxvit_dlka(rh.state_dict_numpy(ref),
+                                    deformable=False)
+    x = np.random.RandomState(0).randn(1, 1, 224, 224).astype(np.float32)
+    with torch.no_grad():
+        y_t = ref(torch.tensor(x)).numpy()
+    model = maxvit_lka_former(num_classes=9)
+    y_j = np.asarray(model.apply(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 1)))).transpose(
+        0, 3, 1, 2)
+    scale = max(np.abs(y_t).max(), 1.0)
+    assert y_j.shape == y_t.shape
+    assert np.abs(y_j - y_t).max() < 2e-4 * scale, \
+        f"{np.abs(y_j - y_t).max()} vs {scale}"
+
+
+# ---------------------------------------------------------------------------
+# Golden: SegFormer op library (module-level — these ops are the building
+# blocks of the 2D ablation zoo; the full SegFormer is never trained
+# standalone in the reference)
+# ---------------------------------------------------------------------------
+
+def test_golden_segformer_transformer_block():
+    """Reference TransformerBlock (segformer.py:320-337: pre-norm
+    EfficientSelfAtten with sr-reduction + MixFFN_skip) vs our
+    SegFormerBlock with hand-mapped weights, at reduction_ratio 8."""
+    rh.install_all()
+    from networks.segformer import TransformerBlock as TorchBlock
+    torch.manual_seed(0)
+    dim, head, rr, H, W = 64, 2, 8, 16, 16
+    tb = TorchBlock(dim, head, rr, token_mlp="mix_skip").eval()
+    sd = {k: v.detach().numpy() for k, v in tb.state_dict().items()}
+
+    def lin(k):
+        return {"weight": sd[f"{k}.weight"].T, "bias": sd[f"{k}.bias"]}
+
+    def ln(k):
+        return {"scale": sd[f"{k}.weight"], "bias": sd[f"{k}.bias"]}
+
+    params = {
+        "norm1": ln("norm1"), "norm2": ln("norm2"),
+        "attn": {
+            "q": lin("attn.q"), "kv": lin("attn.kv"),
+            "proj": lin("attn.proj"),
+            "sr": {"weight": sd["attn.sr.weight"].transpose(2, 3, 1, 0),
+                   "bias": sd["attn.sr.bias"]},
+            "norm": ln("attn.norm"),
+        },
+        "mlp": {
+            "fc1": lin("mlp.fc1"), "fc2": lin("mlp.fc2"),
+            "norm1": ln("mlp.norm1"),
+            "dwconv": {"dwconv": {
+                "weight": sd["mlp.dwconv.dwconv.weight"].transpose(
+                    2, 3, 1, 0),
+                "bias": sd["mlp.dwconv.dwconv.bias"]}},
+        },
+    }
+    from deformablelka_tpu.nn.segformer import SegFormerBlock
+    x = np.random.RandomState(0).randn(2, H * W, dim).astype(np.float32)
+    with torch.no_grad():
+        y_t = tb(torch.tensor(x), H, W).numpy()
+    blk = SegFormerBlock(dim, head, rr, "mix_skip")
+    y_j = np.asarray(blk.apply({"params": params}, jnp.asarray(x), H, W))
+    scale = max(np.abs(y_t).max(), 1.0)
+    assert np.abs(y_j - y_t).max() < 1e-5 * scale, np.abs(y_j - y_t).max()

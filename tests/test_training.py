@@ -119,3 +119,47 @@ def test_cascade_predict_next_stage_and_loader(tmp_path):
     batch = loader.next()
     assert batch["data"].shape == (2, 8, 8, 8, 2)  # image + one-hot(1)
     assert set(np.unique(batch["data"][..., 1])) <= {0.0, 1.0}
+
+
+def test_train_step_pins_gather_impl(monkeypatch):
+    """The training trace must use the gather deform impl even when the
+    session default is hybrid/window: those custom-VJP paths crash the
+    remote TPU compile helper inside value_and_grad (ops.deform_impl
+    docstring; probed 2026-08-17)."""
+    import deformablelka_tpu.ops as ops
+    from deformablelka_tpu.nn.lka2d import deformableLKABlock
+    from deformablelka_tpu.training.train_step import (
+        init_train_state, make_sgd, make_train_step)
+    import flax.linen as nn
+
+    monkeypatch.setenv("DLKA_DEFORM_IMPL", "window")
+    calls = []
+    real_gather, real_window = ops.deform_conv2d_gather, \
+        ops.deform_conv2d_window
+    monkeypatch.setattr(ops, "deform_conv2d_gather",
+                        lambda *a, **k: calls.append("gather")
+                        or real_gather(*a, **k))
+    monkeypatch.setattr(ops, "deform_conv2d_window",
+                        lambda *a, **k: calls.append("window")
+                        or real_window(*a, **k))
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = deformableLKABlock(name="b")(x)
+            return nn.Conv(3, (1, 1))(x)
+
+    model = M()
+    x = jnp.zeros((1, 8, 8, 4), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    # inference trace under the env default uses the window impl
+    assert "window" in calls and "gather" not in calls
+    calls.clear()
+
+    tx = make_sgd(lambda s: 1e-3)
+    state = init_train_state(variables, tx)
+    step = make_train_step(model.apply, tx, deep_supervision=False,
+                           loss_fn=lambda out, lab: jnp.mean(out ** 2))
+    batch = {"image": x, "label": jnp.zeros((1, 8, 8), jnp.int32)}
+    jax.jit(step)(state, batch)  # traces loss_of under deform_impl
+    assert "gather" in calls and "window" not in calls
