@@ -20,6 +20,7 @@ Everything is differentiable through `jnp` autodiff (gather/scatter VJPs).
 
 from __future__ import annotations
 
+import functools
 import os
 
 import jax
@@ -203,20 +204,8 @@ def deform_sample2d(x, offset, kernel_size, *, stride=1, padding=0,
 # Dense-window deformable conv 2D — the TPU-fast path (gather-free).
 # ---------------------------------------------------------------------------
 
-def deform_conv2d_window(x, offset, w, bias=None, *, stride=1, padding=0,
-                         dilation=1, groups: int = 1, radius: int = 2):
-    """Gather-free deformable 2D convolution, exact for |Δ| ≤ radius.
-
-    Same construction as ops/deform3d.deform_conv3d_window (see its
-    docstring for the TPU rationale — XLA gathers run element-serialised
-    on TPU): bilinear sampling with LOCAL offsets is a band-sparse
-    operator; per tap,
-      sample_k(p) = Σ_{s∈[-(R+1),R+1]²} hat(Δ_k(p)+b_k−s)·x(p+s),
-    all static shifts + dense VPU FMAs; tap loop is a lax.scan.
-    Replaces torchvision's deform_conv2d CUDA gather
-    (2D/deformable_LKA/deformable_LKA.py:18-29 usage: depthwise 5×5 and
-    7×7 dilation-3, stride 1).
-    """
+def _window2d_prep(x, w, stride, padding, dilation, groups, radius):
+    """Shared geometry for the 2D window forward/backward."""
     kh, kw, cin_g, cout = w.shape
     B, H, W, C = x.shape
     sh, sw = _tuple(stride, 2)
@@ -224,18 +213,9 @@ def deform_conv2d_window(x, offset, w, bias=None, *, stride=1, padding=0,
     ph, pw = _tuple(padding, 2)
     dh, dw = _tuple(dilation, 2)
     K = kh * kw
-    Ho, Wo = H, W
-    assert offset.shape == (B, Ho, Wo, 2 * K)
-
-    compute_dtype = x.dtype
-    off = jnp.moveaxis(
-        offset.reshape(B, Ho, Wo, K, 2), 3, 0).astype(compute_dtype)
-    off = jnp.clip(off, -radius, radius)
-
     taps = jnp.asarray(
         [[i * dh - ph, j * dw - pw]
          for i in range(kh) for j in range(kw)], jnp.int32)
-
     depthwise = groups == C and cin_g == 1 and cout == C
     cpg = C // groups
     opg = cout // groups
@@ -243,25 +223,44 @@ def deform_conv2d_window(x, offset, w, bias=None, *, stride=1, padding=0,
         w_k = w.reshape(K, C)
     else:
         w_k = w.reshape(K, cpg, groups, opg).transpose(0, 2, 1, 3)
-
-    # window needs only s in [-R, R] — see the span derivation in
-    # deform3d.deform_conv3d_window (the ±(R+1) corners carry weight 0
-    # for clipped offsets)
     base_min = min(-ph, -pw)
     base_max = max((kh - 1) * dh - ph, (kw - 1) * dw - pw)
     lo = radius - base_min
     hi = radius + base_max
-    xp = jnp.pad(x, ((0, 0), (lo, hi), (lo, hi), (0, 0)))
+    return (K, taps, depthwise, cpg, opg, w_k, lo, hi)
 
+
+def _hats2d(off_k, radius, compute_dtype):
+    s_range = jnp.arange(-radius, radius + 1, dtype=compute_dtype)
+    s = s_range[:, None, None, None]
+    hy = jnp.maximum(0.0, 1.0 - jnp.abs(off_k[..., 0][None] - s))
+    hx = jnp.maximum(0.0, 1.0 - jnp.abs(off_k[..., 1][None] - s))
+    return hy, hx
+
+
+def _window2d_impl(x, offset, w, stride, padding, dilation, groups,
+                   radius):
+    """Forward body of deform_conv2d_window (no bias)."""
+    kh, kw, cin_g, cout = w.shape
+    B, H, W, C = x.shape
+    Ho, Wo = H, W
+    K, taps, depthwise, cpg, opg, w_k, lo, hi = _window2d_prep(
+        x, w, stride, padding, dilation, groups, radius)
+    assert offset.shape == (B, Ho, Wo, 2 * K)
+
+    compute_dtype = x.dtype
+    off = jnp.moveaxis(
+        offset.reshape(B, Ho, Wo, K, 2), 3, 0).astype(compute_dtype)
+    off = jnp.clip(off, -radius, radius)
+
+    # window needs only s in [-R, R] -- see the span derivation in
+    # deform3d (the +-(R+1) corners carry weight 0 for clipped offsets)
+    xp = jnp.pad(x, ((0, 0), (lo, hi), (lo, hi), (0, 0)))
     span = 2 * radius + 1
 
     def tap_body(acc, kt):
         off_k, tap, wt = kt
-        s_range = jnp.arange(-radius, radius + 1, dtype=compute_dtype)
-        hy = jnp.maximum(0.0, 1.0 - jnp.abs(
-            off_k[..., 0][None] - s_range[:, None, None, None]))
-        hx = jnp.maximum(0.0, 1.0 - jnp.abs(
-            off_k[..., 1][None] - s_range[:, None, None, None]))
+        hy, hx = _hats2d(off_k, radius, compute_dtype)
         samp = jnp.zeros((B, Ho, Wo, C), compute_dtype)
         for iy in range(span):
             for ix in range(span):
@@ -283,6 +282,128 @@ def deform_conv2d_window(x, offset, w, bias=None, *, stride=1, padding=0,
 
     init = jnp.zeros((B, Ho, Wo, cout), compute_dtype)
     out, _ = jax.lax.scan(tap_body, init, (off, taps, w_k))
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _window2d_core(x, offset, w, stride, padding, dilation, groups,
+                   radius):
+    return _window2d_impl(x, offset, w, stride, padding, dilation, groups,
+                          radius)
+
+
+def _window2d_core_fwd(x, offset, w, stride, padding, dilation, groups,
+                       radius):
+    out = _window2d_impl(x, offset, w, stride, padding, dilation, groups,
+                         radius)
+    return out, (x, offset, w)
+
+
+def _window2d_core_bwd(stride, padding, dilation, groups, radius, res, g):
+    """Explicit scatter-free VJP with per-tap recomputation -- the 2D
+    analog of deform3d._window_core_bwd (see that docstring for why XLA
+    autodiff of the scan forward blows up the compile)."""
+    x, offset, w = res
+    kh, kw, cin_g, cout = w.shape
+    B, H, W, C = x.shape
+    Ho, Wo = H, W
+    K, taps, depthwise, cpg, opg, w_k, lo, hi = _window2d_prep(
+        x, w, stride, padding, dilation, groups, radius)
+
+    compute_dtype = x.dtype
+    off_raw = jnp.moveaxis(
+        offset.reshape(B, Ho, Wo, K, 2), 3, 0).astype(compute_dtype)
+    off = jnp.clip(off_raw, -radius, radius)
+
+    xp = jnp.pad(x, ((0, 0), (lo, hi), (lo, hi), (0, 0)))
+    span = 2 * radius + 1
+    g = g.astype(compute_dtype)
+
+    def tap_body(dxp, kt):
+        off_k, tap, wt = kt
+        hy, hx = _hats2d(off_k, radius, compute_dtype)
+        s_range = jnp.arange(-radius, radius + 1, dtype=compute_dtype)
+        s = s_range[:, None, None, None]
+        dhy = -jnp.sign(off_k[..., 0][None] - s) * (hy > 0)
+        dhx = -jnp.sign(off_k[..., 1][None] - s) * (hx > 0)
+
+        if depthwise:
+            dsamp = g * wt.astype(compute_dtype)
+        else:
+            gg = g.reshape(B, Ho * Wo, groups, opg)
+            dsamp = jnp.einsum(
+                "bpgo,gco->bpgc", gg, wt.astype(compute_dtype)).reshape(
+                B, Ho, Wo, C)
+
+        samp = jnp.zeros((B, Ho, Wo, C), compute_dtype)
+        dy = jnp.zeros((B, Ho, Wo), compute_dtype)
+        dxo = jnp.zeros((B, Ho, Wo), compute_dtype)
+        for iy in range(span):
+            for ix in range(span):
+                start = (0,
+                         lo + tap[0] + iy - radius,
+                         lo + tap[1] + ix - radius,
+                         0)
+                xs = jax.lax.dynamic_slice(xp, start, (B, Ho, Wo, C))
+                wgt = hy[iy] * hx[ix]
+                samp = samp + wgt[..., None] * xs
+                t = jnp.sum(dsamp * xs, axis=-1)
+                dy = dy + (dhy[iy] * hx[ix]) * t
+                dxo = dxo + (hy[iy] * dhx[ix]) * t
+                u = wgt[..., None] * dsamp
+                cur = jax.lax.dynamic_slice(dxp, start, (B, Ho, Wo, C))
+                dxp = jax.lax.dynamic_update_slice(dxp, cur + u, start)
+        if depthwise:
+            dw_k = jnp.sum(g * samp, axis=(0, 1, 2))
+        else:
+            sg = samp.reshape(B, Ho * Wo, groups, cpg)
+            gg = g.reshape(B, Ho * Wo, groups, opg)
+            dw_k = jnp.einsum("bpgc,bpgo->gco", sg, gg)
+        doff_k = jnp.stack([dy, dxo], axis=-1)  # (B,H,W,2)
+        return dxp, (dw_k, doff_k)
+
+    dxp0 = jnp.zeros_like(xp)
+    dxp, (dw_ks, doff_ks) = jax.lax.scan(tap_body, dxp0, (off, taps, w_k))
+
+    dx = jax.lax.slice(
+        dxp, (0, lo, lo, 0), (B, lo + H, lo + W, C)).astype(x.dtype)
+    doff = jnp.where(jnp.abs(off_raw) <= radius, doff_ks, 0.0)
+    doff = jnp.moveaxis(doff, 0, 3).reshape(B, Ho, Wo, 2 * K).astype(
+        offset.dtype)
+    if depthwise:
+        dw = dw_ks.reshape(kh, kw, 1, C).astype(w.dtype)
+    else:
+        dw = dw_ks.transpose(0, 2, 1, 3).reshape(
+            kh, kw, cin_g, cout).astype(w.dtype)
+    return dx, doff, dw
+
+
+_window2d_core.defvjp(_window2d_core_fwd, _window2d_core_bwd)
+
+
+def deform_conv2d_window(x, offset, w, bias=None, *, stride=1, padding=0,
+                         dilation=1, groups: int = 1, radius: int = 2):
+    """Gather-free deformable 2D convolution, exact for |D| <= radius.
+
+    Same construction as ops/deform3d.deform_conv3d_window (see its
+    docstring for the TPU rationale -- XLA gathers run element-serialised
+    on TPU): bilinear sampling with LOCAL offsets is a band-sparse
+    operator; per tap,
+      sample_k(p) = sum_{s in [-R,R]^2} hat(D_k(p)+b_k-s) * x(p+s),
+    all static shifts + dense VPU FMAs; tap loop is a lax.scan.
+    Gradients use an explicit scatter-free VJP (_window2d_core_bwd);
+    DLKA_WINDOW_CUSTOM_VJP=0 falls back to XLA autodiff for debugging.
+    Replaces torchvision's deform_conv2d CUDA gather
+    (2D/deformable_LKA/deformable_LKA.py:18-29 usage: depthwise 5x5 and
+    7x7 dilation-3, stride 1).
+    """
+    st = tuple(_tuple(stride, 2))
+    pad = tuple(_tuple(padding, 2))
+    dil = tuple(_tuple(dilation, 2))
+    if os.environ.get("DLKA_WINDOW_CUSTOM_VJP", "1") == "0":
+        out = _window2d_impl(x, offset, w, st, pad, dil, groups, radius)
+    else:
+        out = _window2d_core(x, offset, w, st, pad, dil, groups, radius)
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out

@@ -20,6 +20,7 @@ module layer, not here.
 
 from __future__ import annotations
 
+import functools
 import os
 
 import jax
@@ -244,25 +245,8 @@ def deform_sample3d(x, offset, kernel_size, *, stride=1, padding=0,
 # Dense-window deformable conv — the TPU-fast path (gather-free).
 # ---------------------------------------------------------------------------
 
-def deform_conv3d_window(x, offset, w, bias=None, *, stride=1, padding=0,
-                         dilation=1, groups: int = 1, radius: int = 2):
-    """Gather-free deformable 3D convolution, exact for |Δ| ≤ radius
-    (larger learned offsets are clipped; they are zero-initialised and
-    stay sub-voxel in practice — deform_conv.py:80-91).
-
-    TPU-first rationale: XLA's gather lowers to an element-serialised
-    loop on TPU (~0.1 GB/s measured) — the D3D-style 8-corner gather is
-    the single slowest thing a TPU can do. But deformable sampling with
-    LOCAL offsets is a band-sparse linear operator: for every tap k,
-      sample_k(p) = Σ_{s∈[-(R+1),R+1]³} hat(Δ_k(p)+b_k−s)·x(p+s),
-    where hat(t)=max(0,1−|t|) factorises per axis and x(p+s) is a
-    STATIC shifted slice. Everything is dense VPU FMAs + static slices
-    (fully fusable); the per-tap channel mixing stays a GEMM on the MXU.
-    The tap loop is a lax.scan so the compiled graph holds ONE window.
-
-    Requires stride 1 (all deform convs in the reference models are
-    stride-1 3³ — transformerblock.py:634-652).
-    """
+def _window_prep(x, w, stride, padding, dilation, groups, radius):
+    """Shared geometry for the window forward/backward."""
     kd, kh, kw, cin_g, cout = w.shape
     B, D, H, W, C = x.shape
     sd, sh, sw = _tuple(stride, 3)
@@ -270,7 +254,42 @@ def deform_conv3d_window(x, offset, w, bias=None, *, stride=1, padding=0,
     pd, ph, pw = _tuple(padding, 3)
     dd, dh, dw = _tuple(dilation, 3)
     K = kd * kh * kw
+    taps = jnp.asarray(
+        [[i * dd - pd, j * dh - ph, m * dw - pw]
+         for i in range(kd) for j in range(kh) for m in range(kw)],
+        jnp.int32)
+    depthwise = groups == C and cin_g == 1 and cout == C
+    cpg = C // groups
+    opg = cout // groups
+    if depthwise:
+        w_k = w.reshape(K, C)
+    else:
+        w_k = w.reshape(K, cpg, groups, opg).transpose(0, 2, 1, 3)
+    base_min = min(-pd, -ph, -pw)
+    base_max = max((kd - 1) * dd - pd, (kh - 1) * dh - ph,
+                   (kw - 1) * dw - pw)
+    lo = radius - base_min
+    hi = radius + base_max
+    return (K, taps, depthwise, cpg, opg, w_k, lo, hi)
+
+
+def _hats(off_k, radius, compute_dtype):
+    """Per-axis hat weights for every window offset: 3x(span,B,D,H,W)."""
+    s_range = jnp.arange(-radius, radius + 1, dtype=compute_dtype)
+    s = s_range[:, None, None, None, None]
+    hz = jnp.maximum(0.0, 1.0 - jnp.abs(off_k[..., 0][None] - s))
+    hy = jnp.maximum(0.0, 1.0 - jnp.abs(off_k[..., 1][None] - s))
+    hx = jnp.maximum(0.0, 1.0 - jnp.abs(off_k[..., 2][None] - s))
+    return hz, hy, hx
+
+
+def _window_impl(x, offset, w, stride, padding, dilation, groups, radius):
+    """Forward body of deform_conv3d_window (no bias)."""
+    kd, kh, kw, cin_g, cout = w.shape
+    B, D, H, W, C = x.shape
     Do, Ho, Wo = D, H, W
+    K, taps, depthwise, cpg, opg, w_k, lo, hi = _window_prep(
+        x, w, stride, padding, dilation, groups, radius)
     assert offset.shape == (B, Do, Ho, Wo, 3 * K)
 
     compute_dtype = x.dtype
@@ -279,46 +298,21 @@ def deform_conv3d_window(x, offset, w, bias=None, *, stride=1, padding=0,
         offset.reshape(B, Do, Ho, Wo, K, 3), 4, 0).astype(compute_dtype)
     off = jnp.clip(off, -radius, radius)
 
-    taps = jnp.asarray(
-        [[i * dd - pd, j * dh - ph, m * dw - pw]
-         for i in range(kd) for j in range(kh) for m in range(kw)],
-        jnp.int32)
-
-    depthwise = groups == C and cin_g == 1 and cout == C
-    cpg = C // groups
-    opg = cout // groups
-    if depthwise:
-        w_k = w.reshape(K, C)
-    else:
-        w_k = w.reshape(K, cpg, groups, opg).transpose(0, 2, 1, 3)
-
     # pad once for the largest possible static shift:
-    # tap base ∈ [-p, (k-1)d-p], plus window span [-R, R]. The window
-    # needs only s ∈ [-R, R]: for clipped Δ ∈ [-R, R] the hat
-    # hat(Δ-s) = max(0, 1-|Δ-s|) is nonzero only for s ∈ (Δ-1, Δ+1) ⊂
-    # (-R-1, R+1), and at the boundary Δ = ±R the s = ±(R+1) corner has
-    # weight exactly 0 (trilinear frac = 0). The previous
-    # [-(R+1), R+1] span evaluated (2R+3)³ terms where (2R+1)³ carry
-    # all the mass — a 2.7x term reduction at R=2, 4.6x at R=1.
-    base_min = min(-pd, -ph, -pw)
-    base_max = max((kd - 1) * dd - pd, (kh - 1) * dh - ph,
-                   (kw - 1) * dw - pw)
-    lo = radius - base_min
-    hi = radius + base_max
+    # tap base in [-p, (k-1)d-p], plus window span [-R, R]. The window
+    # needs only s in [-R, R]: for clipped D in [-R, R] the hat
+    # hat(D-s) = max(0, 1-|D-s|) is nonzero only for s in (D-1, D+1),
+    # and at the boundary D = +-R the s = +-(R+1) corner has weight
+    # exactly 0 (trilinear frac = 0). The previous [-(R+1), R+1] span
+    # evaluated (2R+3)^3 terms where (2R+1)^3 carry all the mass -- a
+    # 2.7x term reduction at R=2, 4.6x at R=1.
     xp = jnp.pad(x, ((0, 0), (lo, hi), (lo, hi), (lo, hi), (0, 0)))
 
     span = 2 * radius + 1  # window offsets in [-R, R]
 
     def tap_body(acc, kt):
         off_k, tap, wt = kt
-        # per-axis hat weights for every window offset: (span, B,D,H,W)
-        s_range = jnp.arange(-radius, radius + 1, dtype=compute_dtype)
-        hz = jnp.maximum(0.0, 1.0 - jnp.abs(
-            off_k[..., 0][None] - s_range[:, None, None, None, None]))
-        hy = jnp.maximum(0.0, 1.0 - jnp.abs(
-            off_k[..., 1][None] - s_range[:, None, None, None, None]))
-        hx = jnp.maximum(0.0, 1.0 - jnp.abs(
-            off_k[..., 2][None] - s_range[:, None, None, None, None]))
+        hz, hy, hx = _hats(off_k, radius, compute_dtype)
         samp = jnp.zeros((B, Do, Ho, Wo, C), compute_dtype)
         for iz in range(span):
             for iy in range(span):
@@ -346,6 +340,161 @@ def deform_conv3d_window(x, offset, w, bias=None, *, stride=1, padding=0,
 
     init = jnp.zeros((B, Do, Ho, Wo, cout), compute_dtype)
     out, _ = jax.lax.scan(tap_body, init, (off, taps, w_k))
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _window_core(x, offset, w, stride, padding, dilation, groups, radius):
+    return _window_impl(x, offset, w, stride, padding, dilation, groups,
+                        radius)
+
+
+def _window_core_fwd(x, offset, w, stride, padding, dilation, groups,
+                     radius):
+    out = _window_impl(x, offset, w, stride, padding, dilation, groups,
+                       radius)
+    return out, (x, offset, w)
+
+
+def _window_core_bwd(stride, padding, dilation, groups, radius, res, g):
+    """Explicit scatter-free VJP with per-tap recomputation.
+
+    Why not XLA autodiff: differentiating the scan forward stacks the
+    per-tap hat weights and (2R+1)^3 window products as scan residuals,
+    O(K * span^3 * B*D*H*W) bytes. At the flagship stage shape that is
+    multi-GB and crashes the remote TPU compile helper (probed
+    2026-08-17: grad of the single op HTTP-500s at 32x64x64xC64 while
+    16x32x32xC32 compiles -- a residual-size cliff, not an op bug).
+    Here the backward is its own scan that RECOMPUTES hats per tap
+    (cheap VPU math) and carries only the padded dx accumulator:
+      dw_k = sum_{b,p} g . samp_k            (samp_k recomputed)
+      dOff_k = sum_c (g.w_k) . sum_s dhat/dOff . x(p+tap+s)
+      dx   = sum_k sum_s hat . (g.w_k) shifted by -(tap+s)
+    -- all dense slices/FMAs; the only "scatter" is a contiguous
+    dynamic-update-slice read-modify-write on the padded accumulator,
+    which XLA lowers to an in-place windowed add.
+    """
+    x, offset, w = res
+    kd, kh, kw, cin_g, cout = w.shape
+    B, D, H, W, C = x.shape
+    Do, Ho, Wo = D, H, W
+    K, taps, depthwise, cpg, opg, w_k, lo, hi = _window_prep(
+        x, w, stride, padding, dilation, groups, radius)
+
+    compute_dtype = x.dtype
+    off_raw = jnp.moveaxis(
+        offset.reshape(B, Do, Ho, Wo, K, 3), 4, 0).astype(compute_dtype)
+    off = jnp.clip(off_raw, -radius, radius)
+
+    xp = jnp.pad(x, ((0, 0), (lo, hi), (lo, hi), (lo, hi), (0, 0)))
+    span = 2 * radius + 1
+    g = g.astype(compute_dtype)
+
+    def tap_body(dxp, kt):
+        off_k, tap, wt = kt
+        hz, hy, hx = _hats(off_k, radius, compute_dtype)
+        # dhat(D-s)/dD = -sign(D-s) where hat > 0 (0 at the kinks --
+        # measure-zero for real-valued offsets)
+        s_range = jnp.arange(-radius, radius + 1, dtype=compute_dtype)
+        s = s_range[:, None, None, None, None]
+        dhz = -jnp.sign(off_k[..., 0][None] - s) * (hz > 0)
+        dhy = -jnp.sign(off_k[..., 1][None] - s) * (hy > 0)
+        dhx = -jnp.sign(off_k[..., 2][None] - s) * (hx > 0)
+
+        # dsamp(p, c) = dloss/dsamp_k(p, c)
+        if depthwise:
+            dsamp = g * wt.astype(compute_dtype)
+        else:
+            gg = g.reshape(B, Do * Ho * Wo, groups, opg)
+            dsamp = jnp.einsum(
+                "bpgo,gco->bpgc", gg, wt.astype(compute_dtype)).reshape(
+                B, Do, Ho, Wo, C)
+
+        samp = jnp.zeros((B, Do, Ho, Wo, C), compute_dtype)
+        dz = jnp.zeros((B, Do, Ho, Wo), compute_dtype)
+        dy = jnp.zeros((B, Do, Ho, Wo), compute_dtype)
+        dxo = jnp.zeros((B, Do, Ho, Wo), compute_dtype)
+        for iz in range(span):
+            for iy in range(span):
+                for ix in range(span):
+                    start = (0,
+                             lo + tap[0] + iz - radius,
+                             lo + tap[1] + iy - radius,
+                             lo + tap[2] + ix - radius,
+                             0)
+                    xs = jax.lax.dynamic_slice(
+                        xp, start, (B, Do, Ho, Wo, C))
+                    wgt = hz[iz] * hy[iy] * hx[ix]
+                    samp = samp + wgt[..., None] * xs
+                    # t = sum_c dsamp.xs -- shared by all 3 offset grads
+                    t = jnp.sum(dsamp * xs, axis=-1)
+                    dz = dz + (dhz[iz] * hy[iy] * hx[ix]) * t
+                    dy = dy + (hz[iz] * dhy[iy] * hx[ix]) * t
+                    dxo = dxo + (hz[iz] * hy[iy] * dhx[ix]) * t
+                    # dx: windowed add into the padded accumulator
+                    u = wgt[..., None] * dsamp
+                    cur = jax.lax.dynamic_slice(
+                        dxp, start, (B, Do, Ho, Wo, C))
+                    dxp = jax.lax.dynamic_update_slice(dxp, cur + u,
+                                                       start)
+        if depthwise:
+            dw_k = jnp.sum(g * samp, axis=(0, 1, 2, 3))
+        else:
+            sg = samp.reshape(B, Do * Ho * Wo, groups, cpg)
+            gg = g.reshape(B, Do * Ho * Wo, groups, opg)
+            dw_k = jnp.einsum("bpgc,bpgo->gco", sg, gg)
+        doff_k = jnp.stack([dz, dy, dxo], axis=-1)  # (B,D,H,W,3)
+        return dxp, (dw_k, doff_k)
+
+    dxp0 = jnp.zeros_like(xp)
+    dxp, (dw_ks, doff_ks) = jax.lax.scan(tap_body, dxp0, (off, taps, w_k))
+
+    dx = jax.lax.slice(
+        dxp, (0, lo, lo, lo, 0), (B, lo + D, lo + H, lo + W, C)
+    ).astype(x.dtype)
+    # clip straight-through: no gradient where the raw offset was clipped
+    doff = jnp.where(jnp.abs(off_raw) <= radius, doff_ks, 0.0)
+    doff = jnp.moveaxis(doff, 0, 4).reshape(B, Do, Ho, Wo, 3 * K).astype(
+        offset.dtype)
+    if depthwise:
+        dw = dw_ks.reshape(kd, kh, kw, 1, C).astype(w.dtype)
+    else:
+        dw = dw_ks.transpose(0, 2, 1, 3).reshape(
+            kd, kh, kw, cin_g, cout).astype(w.dtype)
+    return dx, doff, dw
+
+
+_window_core.defvjp(_window_core_fwd, _window_core_bwd)
+
+
+def deform_conv3d_window(x, offset, w, bias=None, *, stride=1, padding=0,
+                         dilation=1, groups: int = 1, radius: int = 2):
+    """Gather-free deformable 3D convolution, exact for |D| <= radius
+    (larger learned offsets are clipped; they are zero-initialised and
+    stay sub-voxel in practice -- deform_conv.py:80-91).
+
+    TPU-first rationale: XLA's gather lowers to an element-serialised
+    loop on TPU (~0.1 GB/s measured) -- the D3D-style 8-corner gather is
+    the single slowest thing a TPU can do. But deformable sampling with
+    LOCAL offsets is a band-sparse linear operator: for every tap k,
+      sample_k(p) = sum_{s in [-R,R]^3} hat(D_k(p)+b_k-s) * x(p+s),
+    where hat(t)=max(0,1-|t|) factorises per axis and x(p+s) is a
+    STATIC shifted slice. Everything is dense VPU FMAs + static slices
+    (fully fusable); the per-tap channel mixing stays a GEMM on the MXU.
+    The tap loop is a lax.scan so the compiled graph holds ONE window.
+    Gradients use an explicit scatter-free VJP (_window_core_bwd);
+    DLKA_WINDOW_CUSTOM_VJP=0 falls back to XLA autodiff for debugging.
+
+    Requires stride 1 (all deform convs in the reference models are
+    stride-1 3^3 -- transformerblock.py:634-652).
+    """
+    st = tuple(_tuple(stride, 3))
+    pad = tuple(_tuple(padding, 3))
+    dil = tuple(_tuple(dilation, 3))
+    if os.environ.get("DLKA_WINDOW_CUSTOM_VJP", "1") == "0":
+        out = _window_impl(x, offset, w, st, pad, dil, groups, radius)
+    else:
+        out = _window_core(x, offset, w, st, pad, dil, groups, radius)
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out

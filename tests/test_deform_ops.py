@@ -373,3 +373,82 @@ def test_hybrid_dispatch_exact_both_branches(monkeypatch):
         argnums=(0, 1))(jnp.asarray(x), jnp.asarray(off * 0.1))
     for t in g:
         assert np.isfinite(np.asarray(t)).all()
+
+
+# ---------------------------------------------------------------------------
+# Custom scatter-free window VJPs vs XLA autodiff of the same forward
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("depthwise,radius,pad,dil,k",
+                         [(True, 1, 1, 1, 3), (True, 2, 2, 3, 5),
+                          (False, 1, 1, 1, 3), (False, 2, 2, 2, 3)])
+def test_window3d_custom_vjp_matches_autodiff(depthwise, radius, pad,
+                                              dil, k):
+    """deform3d._window_core_bwd (explicit per-tap-recompute VJP — the
+    path that keeps the TPU compiler from drowning in scan residuals,
+    see its docstring) must equal XLA autodiff of the identical forward
+    to fp32 precision, including clipped-offset zeroing."""
+    from deformablelka_tpu.ops import deform3d as d3
+    rng = np.random.RandomState(0)
+    B, D, H, W, C = 2, 5, 6, 7, 4
+    g = C if depthwise else 2
+    cout = C if depthwise else 6
+    cin_g = 1 if depthwise else C // g
+    x = jnp.asarray(rng.randn(B, D, H, W, C), jnp.float32)
+    K = k ** 3
+    off = jnp.asarray(rng.randn(B, D, H, W, 3 * K) * radius * 1.2,
+                      jnp.float32)  # some offsets beyond the clip
+    w = jnp.asarray(rng.randn(k, k, k, cin_g, cout), jnp.float32)
+    gr = jnp.asarray(rng.randn(B, D, H, W, cout), jnp.float32)
+
+    def f_custom(x, off, w):
+        return jnp.sum(d3.deform_conv3d_window(
+            x, off, w, None, padding=pad, dilation=dil, groups=g,
+            radius=radius) * gr)
+
+    def f_auto(x, off, w):
+        return jnp.sum(d3._window_impl(
+            x, off, w, (1, 1, 1), (pad,) * 3, (dil,) * 3, g,
+            radius) * gr)
+
+    gc = jax.grad(f_custom, argnums=(0, 1, 2))(x, off, w)
+    ga = jax.grad(f_auto, argnums=(0, 1, 2))(x, off, w)
+    for name, a, b in zip(("dx", "doff", "dw"), gc, ga):
+        scale = max(float(jnp.max(jnp.abs(b))), 1.0)
+        assert float(jnp.max(jnp.abs(a - b))) < 1e-4 * scale, name
+
+
+@pytest.mark.parametrize("depthwise,radius,pad,dil,k",
+                         [(True, 1, 1, 1, 3), (True, 2, 9, 3, 7),
+                          (False, 1, 1, 1, 3)])
+def test_window2d_custom_vjp_matches_autodiff(depthwise, radius, pad,
+                                              dil, k):
+    """2D analog (deform2d._window2d_core_bwd), incl. the reference's
+    7×7 dilation-3 LKA geometry."""
+    from deformablelka_tpu.ops import deform2d as d2
+    rng = np.random.RandomState(0)
+    B, H, W, C = 2, 12, 11, 4
+    g = C if depthwise else 2
+    cout = C if depthwise else 6
+    cin_g = 1 if depthwise else C // g
+    x = jnp.asarray(rng.randn(B, H, W, C), jnp.float32)
+    K = k * k
+    off = jnp.asarray(rng.randn(B, H, W, 2 * K) * radius * 1.2,
+                      jnp.float32)
+    w = jnp.asarray(rng.randn(k, k, cin_g, cout), jnp.float32)
+    gr = jnp.asarray(rng.randn(B, H, W, cout), jnp.float32)
+
+    def f_custom(x, off, w):
+        return jnp.sum(d2.deform_conv2d_window(
+            x, off, w, None, padding=pad, dilation=dil, groups=g,
+            radius=radius) * gr)
+
+    def f_auto(x, off, w):
+        return jnp.sum(d2._window2d_impl(
+            x, off, w, (1, 1), (pad,) * 2, (dil,) * 2, g, radius) * gr)
+
+    gc = jax.grad(f_custom, argnums=(0, 1, 2))(x, off, w)
+    ga = jax.grad(f_auto, argnums=(0, 1, 2))(x, off, w)
+    for name, a, b in zip(("dx", "doff", "dw"), gc, ga):
+        scale = max(float(jnp.max(jnp.abs(b))), 1.0)
+        assert float(jnp.max(jnp.abs(a - b))) < 1e-4 * scale, name
