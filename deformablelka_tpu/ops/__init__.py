@@ -34,13 +34,14 @@ def deform_impl(name: str):
 
     Dispatch happens while JAX traces, so wrapping the traced region
     (e.g. the loss closure inside `jax.jit`) pins the impl for that
-    program regardless of DLKA_DEFORM_IMPL. Used by the training step:
-    the window/pallas custom-VJP paths (and therefore 'hybrid', whose
-    lax.cond traces the window branch) crash the remote TPU compile
-    helper inside value_and_grad (PERF.md "Training step", probed
-    2026-08-17: impl=window and impl=hybrid both HTTP 500), while
-    'gather' compiles — so training pins 'gather' unless
-    DLKA_DEFORM_IMPL_TRAIN says otherwise."""
+    program regardless of DLKA_DEFORM_IMPL. Used by the training step
+    so the trained path is explicit and independently probed: with the
+    explicit scatter-free window VJPs (deform3d._window_core_bwd) the
+    flagship train step measures 1.87 s/step under 'hybrid' vs 25.2
+    for 'gather' and 9.3 for 'window' R=2 (same loss to 4 decimals;
+    PERF.md "Training step", probed 2026-08-17). Before those VJPs,
+    XLA autodiff of the window scan crashed the remote TPU compiler —
+    DLKA_DEFORM_IMPL_TRAIN=gather remains the escape hatch."""
     prev = getattr(_IMPL_OVERRIDE, "v", None)
     _IMPL_OVERRIDE.v = name
     try:
@@ -51,7 +52,7 @@ def deform_impl(name: str):
 
 def train_impl() -> str:
     """Implementation for training programs (see `deform_impl`)."""
-    return _os.environ.get("DLKA_DEFORM_IMPL_TRAIN", "gather")
+    return _os.environ.get("DLKA_DEFORM_IMPL_TRAIN", "hybrid")
 
 
 def _impl() -> str:

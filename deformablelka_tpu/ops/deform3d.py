@@ -498,89 +498,3 @@ def deform_conv3d_window(x, offset, w, bias=None, *, stride=1, padding=0,
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out
-
-
-def deform_conv3d_window_unrolled(x, offset, w, bias=None, *, stride=1,
-                                  padding=0, dilation=1, groups: int = 1,
-                                  radius: int = 2):
-    """Fully-static variant of deform_conv3d_window: taps and window
-    shifts unrolled into static lax.slice ops so XLA can fuse the whole
-    hat-FMA chain (dynamic_slice inside scan defeats fusion). Same
-    semantics (exact for |Δ| ≤ radius)."""
-    kd, kh, kw, cin_g, cout = w.shape
-    B, D, H, W, C = x.shape
-    sd, sh, sw = _tuple(stride, 3)
-    assert sd == sh == sw == 1
-    pd, ph, pw = _tuple(padding, 3)
-    dd, dh, dw = _tuple(dilation, 3)
-    K = kd * kh * kw
-    Do, Ho, Wo = D, H, W
-    assert offset.shape == (B, Do, Ho, Wo, 3 * K)
-
-    compute_dtype = x.dtype
-    off = offset.reshape(B, Do, Ho, Wo, K, 3).astype(compute_dtype)
-    off = jnp.clip(off, -radius, radius)
-
-    depthwise = groups == C and cin_g == 1 and cout == C
-    cpg = C // groups
-    opg = cout // groups
-    if depthwise:
-        w_k = w.reshape(K, C)
-    else:
-        w_k = w.reshape(K, cpg, groups, opg).transpose(0, 2, 1, 3)
-
-    base_min = min(-pd, -ph, -pw)
-    base_max = max((kd - 1) * dd - pd, (kh - 1) * dh - ph,
-                   (kw - 1) * dw - pw)
-    lo = radius + 1 - base_min
-    hi = radius + 1 + base_max
-    xp = jnp.pad(x, ((0, 0), (lo, hi), (lo, hi), (lo, hi), (0, 0)))
-
-    # window s ∈ [-R, R+1] (2R+2 values) covers both corners of any
-    # |Δ| ≤ R sample
-    s_vals = list(range(-radius, radius + 2))
-
-    def sslice(base):
-        starts = (0, lo + base[0], lo + base[1], lo + base[2], 0)
-        return jax.lax.slice(
-            xp, starts,
-            tuple(s + d for s, d in zip(starts, (B, Do, Ho, Wo, C))))
-
-    out = None
-    for i in range(kd):
-        for j in range(kh):
-            for m in range(kw):
-                k = (i * kh + j) * kw + m
-                bz = i * dd - pd
-                by = j * dh - ph
-                bx = m * dw - pw
-                dz = off[..., k, 0]
-                dy = off[..., k, 1]
-                dx = off[..., k, 2]
-                hz = [jnp.maximum(0.0, 1.0 - jnp.abs(dz - s))
-                      for s in s_vals]
-                hy = [jnp.maximum(0.0, 1.0 - jnp.abs(dy - s))
-                      for s in s_vals]
-                hx = [jnp.maximum(0.0, 1.0 - jnp.abs(dx - s))
-                      for s in s_vals]
-                samp = None
-                for iz, sz in enumerate(s_vals):
-                    for iy, sy in enumerate(s_vals):
-                        hzy = hz[iz] * hy[iy]
-                        for ix, sx in enumerate(s_vals):
-                            wgt = (hzy * hx[ix])[..., None]
-                            xs = sslice((bz + sz, by + sy, bx + sx))
-                            t = wgt * xs
-                            samp = t if samp is None else samp + t
-                if depthwise:
-                    contrib = samp * w_k[k].astype(compute_dtype)
-                else:
-                    sg = samp.reshape(B, Do * Ho * Wo, groups, cpg)
-                    contrib = jnp.einsum(
-                        "bpgc,gco->bpgo", sg,
-                        w_k[k].astype(compute_dtype)).reshape(
-                        B, Do, Ho, Wo, cout)
-                out = contrib if out is None else out + contrib
-    if bias is not None:
-        out = out + bias.astype(out.dtype)
-    return out

@@ -122,10 +122,9 @@ def test_cascade_predict_next_stage_and_loader(tmp_path):
 
 
 def test_train_step_pins_gather_impl(monkeypatch):
-    """The training trace must use the gather deform impl even when the
-    session default is hybrid/window: those custom-VJP paths crash the
-    remote TPU compile helper inside value_and_grad (ops.deform_impl
-    docstring; probed 2026-08-17)."""
+    """The training trace must honour DLKA_DEFORM_IMPL_TRAIN regardless
+    of the inference-session default (ops.deform_impl): the trained path
+    is pinned at trace time so probes/escape hatches stay meaningful."""
     import deformablelka_tpu.ops as ops
     from deformablelka_tpu.nn.lka2d import deformableLKABlock
     from deformablelka_tpu.training.train_step import (
@@ -133,6 +132,7 @@ def test_train_step_pins_gather_impl(monkeypatch):
     import flax.linen as nn
 
     monkeypatch.setenv("DLKA_DEFORM_IMPL", "window")
+    monkeypatch.setenv("DLKA_DEFORM_IMPL_TRAIN", "gather")
     calls = []
     real_gather, real_window = ops.deform_conv2d_gather, \
         ops.deform_conv2d_window
@@ -163,3 +163,14 @@ def test_train_step_pins_gather_impl(monkeypatch):
     batch = {"image": x, "label": jnp.zeros((1, 8, 8), jnp.int32)}
     jax.jit(step)(state, batch)  # traces loss_of under deform_impl
     assert "gather" in calls and "window" not in calls
+
+
+def test_train_impl_default_is_hybrid(monkeypatch):
+    """Default training impl is hybrid: 1.87 s/step vs 25.2 (gather) on
+    the flagship config (PERF.md "Training step", 2026-08-17), exact
+    for any offsets via the lax.cond dispatch."""
+    from deformablelka_tpu.ops import train_impl
+    monkeypatch.delenv("DLKA_DEFORM_IMPL_TRAIN", raising=False)
+    assert train_impl() == "hybrid"
+    monkeypatch.setenv("DLKA_DEFORM_IMPL_TRAIN", "gather")
+    assert train_impl() == "gather"
