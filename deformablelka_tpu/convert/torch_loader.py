@@ -82,9 +82,15 @@ def _strip_prefix(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
 # ---------------------------------------------------------------------------
 
 def convert_dlka_former(sd: Dict[str, np.ndarray],
-                        depths=(3, 3, 3, 3)) -> Dict[str, Any]:
+                        depths=(3, 3, 3, 3),
+                        only_block=None) -> Dict[str, Any]:
     """Build {"params": ..., "batch_stats": ...} for models.DLKAFormer from
-    a reference 3D state_dict."""
+    a reference 3D state_dict.
+
+    only_block=(jpath, tkey) converts a single TransformerBlock_* family
+    state dict (any of the 14 --trans_block variants) instead of the
+    full model — used by the per-variant golden tests and by checkpoint
+    surgery."""
     sd = _strip_prefix(sd)
     params: dict = {}
     stats: dict = {}
@@ -153,20 +159,21 @@ def convert_dlka_former(sd: Dict[str, np.ndarray],
                 f"{tkey}.epa_block.out_proj2.weight", "linear")
             put(f"{jpath}/epa_block/out_proj2/bias",
                 f"{tkey}.epa_block.out_proj2.bias", "none")
-        # Gated LKA variants (epa_block = LKA_Attention3d*): proj_1/proj_2,
-        # spatial_gating_unit with conv0/conv_spatial/(deform_conv)/conv1
-        if f"{tkey}.epa_block.proj_1.weight" in sd:
+        def gated(jg_root, tg_root):
+            """LKA_Attention3d* → GatedAttention3d: proj_1/proj_2 +
+            spatial_gating_unit with conv0/conv_spatial/(conv)/
+            (deform_conv)/conv1."""
             for proj in ("proj_1", "proj_2"):
-                put(f"{jpath}/epa_block/{proj}/weight",
-                    f"{tkey}.epa_block.{proj}.weight", "conv")
-                put(f"{jpath}/epa_block/{proj}/bias",
-                    f"{tkey}.epa_block.{proj}.bias", "none")
-            g = f"{tkey}.epa_block.spatial_gating_unit"
-            jg = f"{jpath}/epa_block/spatial_gating_unit"
+                put(f"{jg_root}/{proj}/weight", f"{tg_root}.{proj}.weight",
+                    "conv")
+                put(f"{jg_root}/{proj}/bias", f"{tg_root}.{proj}.bias",
+                    "none")
+            g = f"{tg_root}.spatial_gating_unit"
+            jg = f"{jg_root}/spatial_gating_unit"
             for c in ("conv0", "conv_spatial", "conv1", "conv"):
                 put(f"{jg}/{c}/weight", f"{g}.{c}.weight", "conv")
                 put(f"{jg}/{c}/bias", f"{g}.{c}.bias", "none")
-            if f"{g}.deform_conv.weight" in sd:
+            if f"{g}.deform_conv.conv_offset.weight" in sd:
                 put(f"{jg}/deform_conv/weight", f"{g}.deform_conv.weight",
                     "conv")
                 put(f"{jg}/deform_conv/bias", f"{g}.deform_conv.bias",
@@ -175,6 +182,81 @@ def convert_dlka_former(sd: Dict[str, np.ndarray],
                     f"{g}.deform_conv.conv_offset.weight", "conv")
                 put(f"{jg}/deform_conv/conv_offset/bias",
                     f"{g}.deform_conv.conv_offset.bias", "none")
+            elif f"{g}.deform_conv.weight" in sd:
+                # LKA3d_conv (transformerblock.py:746-764) calls its plain
+                # dense 3^3 conv "deform_conv"; our module names it `conv`.
+                put(f"{jg}/conv/weight", f"{g}.deform_conv.weight", "conv")
+                put(f"{jg}/conv/bias", f"{g}.deform_conv.bias", "none")
+
+        te = f"{tkey}.epa_block"
+        # TransformerBlock_2Dsingle (:498-568): per-slice 2D deform LKA.
+        # Our SliceDeformableLKA2d flattens the gating unit into
+        # epa_block and keeps torchvision-style offset_net params.
+        if f"{te}.spatial_gating_unit.conv0.offset_net.weight" in sd:
+            je = f"{jpath}/epa_block"
+            for proj in ("proj_1", "proj_2"):
+                put(f"{je}/{proj}/weight", f"{te}.{proj}.weight", "conv")
+                put(f"{je}/{proj}/bias", f"{te}.{proj}.bias", "none")
+            g = f"{te}.spatial_gating_unit"
+            for c in ("conv0", "conv_spatial"):
+                put(f"{je}/{c}/offset_net/weight",
+                    f"{g}.{c}.offset_net.weight", "conv")
+                put(f"{je}/{c}/offset_net/bias",
+                    f"{g}.{c}.offset_net.bias", "none")
+                put(f"{je}/{c}/deform_conv_weight",
+                    f"{g}.{c}.deform_conv.weight", "conv")
+            put(f"{je}/conv1/weight", f"{g}.conv1.weight", "conv")
+            put(f"{je}/conv1/bias", f"{g}.conv1.bias", "none")
+        # Plain gated LKA variants (epa_block = LKA_Attention3d*)
+        elif f"{te}.proj_1.weight" in sd:
+            gated(f"{jpath}/epa_block", te)
+        # TransformerBlock_EA (:218-283); its temperature params are dead
+        if f"{te}.query_lin.weight" in sd:
+            for lin in ("query_lin", "key_lin", "value_lin",
+                        "reprojection"):
+                put(f"{jpath}/epa_block/{lin}/weight",
+                    f"{te}.{lin}.weight", "linear")
+                put(f"{jpath}/epa_block/{lin}/bias",
+                    f"{te}.{lin}.bias", "none")
+        # TransformerBlock_SE (:1354-1419): block-level SE + gated LKA
+        if f"{tkey}.LKA_block.proj_1.weight" in sd:
+            gated(f"{jpath}/LKA_block", f"{tkey}.LKA_block")
+            put(f"{jpath}/se_fc1/weight", f"{tkey}.se.fc1.weight", "conv")
+            put(f"{jpath}/se_fc1/bias", f"{tkey}.se.fc1.bias", "none")
+            put(f"{jpath}/se_fc2/weight", f"{tkey}.se.fc2.weight", "conv")
+            put(f"{jpath}/se_fc2/bias", f"{tkey}.se.fc2.bias", "none")
+        # Paired attention+LKA variants ({Spatial,Channel}Attention_*LKA*,
+        # :794-868/:979-1041/:1151-1216/:1673-1737/:1872-1944):
+        # epa_block.{qkv,(E),temperature,lka,...} → attn/lka/fusion split
+        if f"{te}.lka.proj_1.weight" in sd:
+            put(f"{jpath}/attn/qkv/weight", f"{te}.qkv.weight", "linear")
+            _set(params, f"{jpath}/attn/temperature",
+                 sd[f"{te}.temperature"])
+            if f"{te}.E.weight" in sd:  # spatial halves share E = F
+                put(f"{jpath}/attn/E/weight", f"{te}.E.weight", "linear")
+                put(f"{jpath}/attn/E/bias", f"{te}.E.bias", "none")
+            gated(f"{jpath}/lka", f"{te}.lka")
+            if f"{te}.out_proj2.weight" in sd:  # parallel concat fusion
+                for op in ("out_proj", "out_proj2"):
+                    put(f"{jpath}/{op}/weight", f"{te}.{op}.weight",
+                        "linear")
+                    put(f"{jpath}/{op}/bias", f"{te}.{op}.bias", "none")
+                if f"{te}.norm.weight" in sd:  # channel_norm variant
+                    put_norm(f"{jpath}/fuse_norm", f"{te}.norm")
+                    put_norm(f"{jpath}/fuse_norm2", f"{te}.norm2")
+                    _set(params, f"{jpath}/temperature2",
+                         sd[f"{te}.temperature2"])
+            else:  # *_sequential: attn → norm → lka → norm2 → out_proj
+                put_norm(f"{jpath}/fuse_norm", f"{te}.norm")
+                put_norm(f"{jpath}/fuse_norm2", f"{te}.norm2")
+                put(f"{jpath}/out_proj/weight", f"{te}.out_proj.weight",
+                    "linear")
+                put(f"{jpath}/out_proj/bias", f"{te}.out_proj.bias",
+                    "none")
+
+    if only_block is not None:
+        trans_block(*only_block)
+        return {"params": params, "batch_stats": stats}
 
     # Encoder
     enc_t = "d_lka_former_encoder"

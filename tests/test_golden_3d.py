@@ -102,3 +102,73 @@ def test_golden_3d_flagship_full_model_parity():
         assert a.shape == yt.shape
         assert np.abs(a - yt).max() < 2e-4 * scale, \
             f"head {i}: {np.abs(a - yt).max()} vs out scale {scale}"
+
+
+# ---------------------------------------------------------------------------
+# Golden: the full 14-variant 3D transformer block family
+# ---------------------------------------------------------------------------
+
+_VARIANTS = [
+    "TransformerBlock",
+    "TransformerBlock_EA",
+    "TransformerBlock_3D_LKA",
+    "TransformerBlock_2Dsingle",
+    "TransformerBlock_3D_single_deform_LKA",
+    "TransformerBlock_3D_LKA_3D_conv",
+    "TransformerBlock_LKA_Spatial",
+    "TransformerBlock_LKA_Channel",
+    "TransformerBlock_LKA_Channel_norm",
+    "TransformerBlock_SE",
+    "TransformerBlock_Deform_LKA_Channel",
+    "TransformerBlock_Deform_LKA_Channel_sequential",
+    "TransformerBlock_Deform_LKA_Spatial",
+    "TransformerBlock_Deform_LKA_Spatial_sequential",
+]
+
+
+@pytest.mark.parametrize("variant", _VARIANTS)
+def test_golden_3d_block_variant(variant):
+    """Per-variant activation parity vs the REAL reference block classes
+    (transformerblock.py — the full --trans_block CLI axis,
+    run_training.py:124-129), converted via
+    convert_dlka_former(only_block=...). Catches both converter gaps and
+    architecture drift in any of the 14 registered variants."""
+    rh.install_all_3d()
+    import torch as _t
+    from d_lka_former.network_architecture.synapse import (
+        transformerblock as T)
+    from deformablelka_tpu.nn.transformer3d import TRANSFORMER_BLOCKS
+
+    S = (4, 4, 4)
+    N = S[0] * S[1] * S[2]
+    C, proj, heads = 32, 32, 4
+    _t.manual_seed(0)
+    ref = getattr(T, variant)(input_size=N, hidden_size=C,
+                              proj_size=proj, num_heads=heads,
+                              dropout_rate=0.0, pos_embed=True).eval()
+    # randomise pos_embed (zero-init would hide conversion bugs)
+    with _t.no_grad():
+        if ref.pos_embed is not None:
+            ref.pos_embed.normal_(0, 0.02)
+
+    sd = {f"blk.{k}": v.detach().numpy()
+          for k, v in ref.state_dict().items()}
+    from deformablelka_tpu.convert.torch_loader import convert_dlka_former
+    variables = convert_dlka_former(sd, only_block=("blk", "blk"))
+    bvars = {"params": variables["params"]["blk"]}
+    if variables["batch_stats"]:
+        bvars["batch_stats"] = variables["batch_stats"]["blk"]
+
+    x = np.random.RandomState(0).randn(2, C, *S).astype(np.float32)
+    with torch.no_grad():
+        y_t = ref(torch.tensor(x)).numpy()
+
+    blk = TRANSFORMER_BLOCKS[variant](input_size=N, hidden_size=C,
+                                      proj_size=proj, num_heads=heads,
+                                      dropout_rate=0.0, pos_embed=True)
+    y_j = blk.apply(bvars, jnp.asarray(x.transpose(0, 2, 3, 4, 1)))
+    y_j = np.asarray(y_j).transpose(0, 4, 1, 2, 3)
+    scale = max(np.abs(y_t).max(), 1.0)
+    assert y_j.shape == y_t.shape
+    assert np.abs(y_j - y_t).max() < 2e-4 * scale, \
+        f"{variant}: {np.abs(y_j - y_t).max()} vs {scale}"
