@@ -307,20 +307,16 @@ def _convert_deform_conv2d(params, jpath, sd, tkey):
              convert_tensor("", sd[f"{tkey}.deform_conv.weight"], "conv"))
 
 
-def convert_maxvit_dlka(sd: Dict[str, np.ndarray],
-                        deformable: bool = True) -> Dict[str, Any]:
-    """Convert a 2D MaxViT_deformableLKAFormer state_dict (.pth) to
-    models.MaxViTDeformableLKAFormer variables.
+def _convert_lka_decoders(params, stats, sd, deformable: bool):
+    """Convert the decoder_3..decoder_0 LKA decoder stack shared by
+    every 2D *_LKA_Decoder reference file (MaxViT_deform_LKA.py:545-620,
+    MaxViT_LKA_Decoder.py / DAT_LKA_Decoder.py / mvit_LKA_Decoder.py /
+    STViTEncoder_LKADecoder.py MyDecoderLayer).
 
-    deformable=False converts the LKA Baseline (MaxViTLKAFormer,
-    2D/networks/MaxViT_LKA_Decoder.py): the gate convs are plain
-    depthwise convs, and only layer_lka_1 is mapped — the reference
-    forward applies it twice (:612, "LEON CHANGE THIS!"), leaving
-    layer_lka_2's params dead; the flax model reproduces the reuse and
-    never materialises layer_lka_2 (models/maxvit_dlka.DecoderLayer)."""
-    sd = _strip_prefix(sd)
-    params: dict = {}
-    stats: dict = {}
+    deformable=False maps the plain-LKABlock decoders and only
+    layer_lka_1 — those references apply it twice ("LEON CHANGE
+    THIS!"), leaving layer_lka_2 / layer_former_* / cross_attn /
+    concat_linear dead; the flax DecoderLayer reproduces the reuse."""
 
     def put(path, key, kind):
         if key not in sd:
@@ -337,7 +333,7 @@ def convert_maxvit_dlka(sd: Dict[str, np.ndarray],
             _set(stats, f"{path}/var", sd[f"{tkey}.running_var"])
 
     def lka_block(jpath, tkey):
-        """deformableLKABlock → nn.lka2d.deformableLKABlock."""
+        """deformableLKABlock / LKABlock → nn.lka2d counterparts."""
         put_norm(f"{jpath}/norm1", f"{tkey}.norm1", False)
         put_norm(f"{jpath}/norm2", f"{tkey}.norm2", False)
         _set(params, f"{jpath}/layer_scale_1", sd[f"{tkey}.layer_scale_1"])
@@ -364,7 +360,6 @@ def convert_maxvit_dlka(sd: Dict[str, np.ndarray],
             "conv")
         put(f"{jm}/dwconv/dwconv/bias", f"{m}.dwconv.dwconv.bias", "none")
 
-    # Decoders
     for idx, name in ((3, "decoder_3"), (2, "decoder_2"), (1, "decoder_1"),
                       (0, "decoder_0")):
         j = name
@@ -386,10 +381,111 @@ def convert_maxvit_dlka(sd: Dict[str, np.ndarray],
         put(f"{j}/last_layer/weight", f"{name}.last_layer.weight", "conv")
         put(f"{j}/last_layer/bias", f"{name}.last_layer.bias", "none")
 
+
+def convert_maxvit_dlka(sd: Dict[str, np.ndarray],
+                        deformable: bool = True) -> Dict[str, Any]:
+    """Convert a 2D MaxViT_deformableLKAFormer state_dict (.pth) to
+    models.MaxViTDeformableLKAFormer variables.
+
+    deformable=False converts the LKA Baseline (MaxViTLKAFormer,
+    2D/networks/MaxViT_LKA_Decoder.py) — see _convert_lka_decoders."""
+    sd = _strip_prefix(sd)
+    params: dict = {}
+    stats: dict = {}
+    _convert_lka_decoders(params, stats, sd, deformable)
     # Backbone (timm maxxvit): delegated key map
     _convert_maxvit_backbone(params, stats, sd, prefix="backbone.backbone",
                              jprefix="backbone")
     return {"params": params, "batch_stats": stats}
+
+
+def convert_datlka(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Convert a DATLKAFormer state_dict (2D/networks/DAT_LKA_Decoder.py)
+    to models.dat_lka.DATLKAFormer variables.
+
+    Decoders via _convert_lka_decoders(deformable=False). Backbone =
+    DAT (DAT/dat_4out.py): stages.N.{layer_norms,attns,mlps}.M →
+    stages_N/{layer_norms,attns,mlps}_M; LayerNormProxy `.norm.weight`
+    → `scale`; DAttention conv_offset.[0,1,3] → offset_dw/offset_norm/
+    offset_proj; its torch-conv-1×1 proj_k/proj_v feed flax Linears
+    (token-space), so their kernels are squeezed to (in, out). The
+    rel-pos tables (relative_position_bias_table, rpe_table) pass
+    through unchanged; buffers and the unused cls head are skipped."""
+    sd = _strip_prefix(sd)
+    params: dict = {}
+    stats: dict = {}
+    _convert_lka_decoders(params, stats, sd, deformable=False)
+
+    def norm_leaf(p):
+        return "scale" if p == "weight" else "bias"
+
+    for key, v in sd.items():
+        if not key.startswith("backbone."):
+            continue
+        parts = key.split(".")[1:]
+        if parts[0] in ("cls_norm", "cls_head"):
+            continue
+        if parts[-1] in ("relative_position_index", "attn_mask"):
+            continue
+        arr = np.asarray(v)
+        leaf = parts[-1]
+        if parts[0] == "patch_proj":
+            if parts[1] == "0":
+                kind = "conv" if leaf == "weight" else "none"
+                _set(params, f"backbone/patch_proj/{leaf}",
+                     convert_tensor(key, arr, kind))
+            else:  # patch_proj.1.norm (LayerNormProxy)
+                _set(params, f"backbone/patch_norm/{norm_leaf(leaf)}", arr)
+        elif parts[0] == "down_projs":
+            i = parts[1]
+            if parts[2] == "0":
+                _set(params, f"backbone/down_projs_{i}/weight",
+                     convert_tensor(key, arr, "conv"))
+            else:
+                _set(params, f"backbone/down_norm_{i}/{norm_leaf(leaf)}",
+                     arr)
+        elif parts[0] == "stages":
+            s, sub = parts[1], parts[2]
+            base = f"backbone/stages_{s}"
+            if sub == "layer_norms":
+                _set(params,
+                     f"{base}/layer_norms_{parts[3]}/{norm_leaf(leaf)}",
+                     arr)
+            elif sub == "mlps":
+                # mlps.M.chunk.linearX → mlps_M/linearX
+                kind = "linear" if leaf == "weight" else "none"
+                _set(params, f"{base}/mlps_{parts[3]}/{parts[5]}/{leaf}",
+                     convert_tensor(key, arr, kind))
+            elif sub == "attns":
+                ab = f"{base}/attns_{parts[3]}"
+                name = parts[4]
+                if name in ("relative_position_bias_table", "rpe_table"):
+                    _set(params, f"{ab}/{name}", arr)
+                elif name == "conv_offset":
+                    idx = parts[5]
+                    if idx == "0":
+                        kind = "conv" if leaf == "weight" else "none"
+                        _set(params, f"{ab}/offset_dw/{leaf}",
+                             convert_tensor(key, arr, kind))
+                    elif idx == "1":
+                        _set(params,
+                             f"{ab}/offset_norm/{norm_leaf(leaf)}", arr)
+                    else:  # conv_offset.3: 1×1, no bias
+                        _set(params, f"{ab}/offset_proj/weight",
+                             convert_tensor(key, arr, "conv"))
+                elif name in ("proj_k", "proj_v") and arr.ndim == 4:
+                    # torch Conv2d 1×1 on sampled tokens → flax Linear
+                    _set(params, f"{ab}/{name}/weight",
+                         arr[:, :, 0, 0].T.copy())
+                elif arr.ndim == 4:
+                    _set(params, f"{ab}/{name}/{leaf}",
+                         convert_tensor(key, arr, "conv"))
+                elif arr.ndim == 2:
+                    _set(params, f"{ab}/{name}/{leaf}",
+                         convert_tensor(key, arr, "linear"))
+                else:
+                    _set(params, f"{ab}/{name}/{leaf}", arr)
+    return {"params": params}
 
 
 def _convert_maxvit_backbone(params, stats, sd, prefix, jprefix,

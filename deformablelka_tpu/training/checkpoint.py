@@ -24,6 +24,7 @@ TPU-native extras over the reference:
 
 from __future__ import annotations
 
+import atexit
 import json
 import re
 import shutil
@@ -48,6 +49,18 @@ class CheckpointManager:
         self.max_scheduled_keep = max_scheduled_keep
         self._pending: Optional[threading.Thread] = None
         self._pending_err: Optional[BaseException] = None
+        # Join any in-flight save before the interpreter tears down the
+        # thread machinery — otherwise a final async save races process
+        # exit (daemon thread killed mid-orbax-commit leaves a corrupt
+        # checkpoint and "cannot schedule new futures after interpreter
+        # shutdown" noise).
+        atexit.register(self._drain_at_exit)
+
+    def _drain_at_exit(self):
+        try:
+            self.wait_until_finished()
+        except BaseException:
+            pass  # exit path: nothing can handle it anymore
 
     def _path(self, name: str) -> Path:
         return self.dir / name

@@ -188,6 +188,7 @@ class Trainer2D:
                        {"params": self.state.params,
                         "batch_stats": self.state.batch_stats or {}},
                        {"epoch": self.epoch})
+        self.ckpt.wait_until_finished()
         if self._tb is not None:
             self._tb.flush()
             self._tb.close()
@@ -326,4 +327,5 @@ class TrainerSkin:
                                 "batch_stats": self.state.batch_stats or {}},
                                {"val_loss": mean_val, "epoch": ep + 1})
             lr_scale = self.scheduler.step(mean_val)
+        self.ckpt.wait_until_finished()
         return self.state

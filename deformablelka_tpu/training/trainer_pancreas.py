@@ -150,3 +150,4 @@ class TrainerPancreas:
         if self.state.batch_stats is not None:
             ckpt["batch_stats"] = self.state.batch_stats
         mgr.save(name, ckpt)
+        mgr.wait_until_finished()

@@ -24,6 +24,7 @@ unconditionally loads an ImageNet .pth, falls back to random init
 """
 
 import contextlib
+import os
 import sys
 import types
 
@@ -406,11 +407,31 @@ def install_dataclass_compat():
     dataclasses._get_field = patched
 
 
+def install_networks_path_shims():
+    """mvit_LKA_Decoder.py does `from segformer import *` (plain module
+    name → needs 2D/networks on sys.path) and
+    STViTEncoder_LKADecoder.py:24 imports mmdet.utils.get_root_logger
+    (only for pretrained-load logging); stub both."""
+    nets = os.path.join(REF2D, "networks")
+    if nets not in sys.path:
+        sys.path.insert(0, nets)
+    if "mmdet" not in sys.modules:
+        import logging
+        mmdet = types.ModuleType("mmdet")
+        mmdet_utils = types.ModuleType("mmdet.utils")
+        mmdet_utils.get_root_logger = (
+            lambda *a, **k: logging.getLogger("ref_harness"))
+        mmdet.utils = mmdet_utils
+        sys.modules["mmdet"] = mmdet
+        sys.modules["mmdet.utils"] = mmdet_utils
+
+
 def install_all():
     install_dataclass_compat()
     install_torchvision_shim()
     install_timm_shim()
     install_fvcore_shim()
+    install_networks_path_shims()
 
 
 def install_all_3d():

@@ -305,3 +305,36 @@ def test_golden_segformer_transformer_block():
     y_j = np.asarray(blk.apply({"params": params}, jnp.asarray(x), H, W))
     scale = max(np.abs(y_t).max(), 1.0)
     assert np.abs(y_j - y_t).max() < 1e-5 * scale, np.abs(y_j - y_t).max()
+
+
+# ---------------------------------------------------------------------------
+# Golden: DAT-LKA (deformable-attention-transformer encoder ablation)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_golden_dat_lka_full_model_parity():
+    """Full-model parity vs the real DATLKAFormer
+    (2D/networks/DAT_LKA_Decoder.py:582-652 + DAT/dat_4out.py).
+    Exercises all three DAT attention types (Local / ShiftWindow /
+    DAttention with continuous rel-pos bias) plus the add-fusion +
+    double-layer_lka_1 decoder quirks."""
+    rh.install_all()
+    torch.manual_seed(0)
+    from networks.DAT_LKA_Decoder import DATLKAFormer as TorchDAT
+    ref = TorchDAT(num_classes=9).eval()
+
+    from deformablelka_tpu.convert.torch_loader import convert_datlka
+    from deformablelka_tpu.models.dat_lka import DATLKAFormer
+
+    variables = convert_datlka(rh.state_dict_numpy(ref))
+    x = np.random.RandomState(0).randn(1, 3, 224, 224).astype(np.float32)
+    with torch.no_grad():
+        y_t = ref(torch.tensor(x)).numpy()
+    model = DATLKAFormer(num_classes=9)
+    y_j = np.asarray(model.apply(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 1)))).transpose(
+        0, 3, 1, 2)
+    scale = max(np.abs(y_t).max(), 1.0)
+    assert y_j.shape == y_t.shape
+    assert np.abs(y_j - y_t).max() < 2e-4 * scale, \
+        f"{np.abs(y_j - y_t).max()} vs {scale}"
