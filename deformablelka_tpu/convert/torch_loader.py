@@ -612,36 +612,41 @@ def convert_daeformer(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     Dead reference params are skipped: MixFFN_skip allocates
     norm2/norm3 it never calls (segformer.py:206-220).
     """
-    import re
-
     sd = _strip_prefix(sd)
     params: dict = {}
     for key, v in sd.items():
-        parts = key.split(".")
-        # skip MixFFN_skip dead norms
-        if (len(parts) >= 3 and parts[-2] in ("norm2", "norm3")
-                and parts[-3] in ("mlp", "mlp1", "mlp2")):
-            continue
-        out_parts = []
-        i = 0
-        while i < len(parts):
-            p = parts[i]
-            if (re.fullmatch(r"block[0-9]", p)
-                    and i + 1 < len(parts) and parts[i + 1].isdigit()):
-                out_parts.append(f"{p}_{parts[i + 1]}")
-                i += 2
-                continue
-            out_parts.append(p)
-            i += 1
-        arr = np.asarray(v)
-        if arr.ndim == 1 and out_parts[-1] == "weight":
-            out_parts[-1] = "scale"
-        elif arr.ndim == 4:
-            arr = arr.transpose(2, 3, 1, 0)
-        elif arr.ndim == 2:
-            arr = arr.T
-        _set(params, "/".join(out_parts), arr)
+        _daeformer_walk_key(params, key, v)
     return {"params": params}
+
+
+def _daeformer_walk_key(params: dict, key: str, v) -> None:
+    """The DAEFormer generic key transform (see convert_daeformer):
+    used for the MiT backbone and for every DAEFormer-style decoder
+    stack (DAEFormer, DAE-LKA, BiDAEFormer)."""
+    parts = key.split(".")
+    # skip MixFFN_skip dead norms
+    if (len(parts) >= 3 and parts[-2] in ("norm2", "norm3")
+            and parts[-3] in ("mlp", "mlp1", "mlp2")):
+        return
+    out_parts = []
+    i = 0
+    while i < len(parts):
+        p = parts[i]
+        if (re.fullmatch(r"block[0-9]", p)
+                and i + 1 < len(parts) and parts[i + 1].isdigit()):
+            out_parts.append(f"{p}_{parts[i + 1]}")
+            i += 2
+            continue
+        out_parts.append(p)
+        i += 1
+    arr = np.asarray(v)
+    if arr.ndim == 1 and out_parts[-1] == "weight":
+        out_parts[-1] = "scale"
+    elif arr.ndim == 4:
+        arr = arr.transpose(2, 3, 1, 0)
+    elif arr.ndim == 2:
+        arr = arr.T
+    _set(params, "/".join(out_parts), arr)
 
 
 # ---------------------------------------------------------------------------
@@ -733,3 +738,235 @@ def convert_swinunet(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     norm("final_expand/norm", "up.norm")
     put("output/kernel", "output.weight", "conv")
     return {"params": params}
+
+
+# ---------------------------------------------------------------------------
+# MViT-LKA (2D/networks/mvit_LKA_Decoder.py MViTLKAFormer)
+# ---------------------------------------------------------------------------
+
+def convert_mvitlka(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Convert an MViTLKAFormer state_dict to models.mvit.MViTLKAFormer
+    variables.
+
+    Decoders via _convert_lka_decoders(deformable=False). Backbone
+    (mvit_model_object_4out.py MViT): blocks.N → block{N};
+    attn.{pool,norm}_{q,k,v} → attn/{q,k,v}_pool/{pool,norm};
+    mlp.fcX → mlp_fcX; rel_pos_{h,w} pass through unchanged."""
+    sd = _strip_prefix(sd)
+    params: dict = {}
+    stats: dict = {}
+    _convert_lka_decoders(params, stats, sd, deformable=False)
+
+    for key, v in sd.items():
+        if not key.startswith("backbone."):
+            continue
+        parts = key.split(".")[1:]
+        arr = np.asarray(v)
+        leaf = parts[-1]
+        if parts[0] == "patch_embed":
+            kind = "conv" if leaf == "weight" else "none"
+            _set(params, f"backbone/patch_embed/{leaf}",
+                 convert_tensor(key, arr, kind))
+        elif parts[0].startswith("scale") and parts[0].endswith("_norm"):
+            _set(params, f"backbone/{parts[0]}/"
+                 + ("scale" if leaf == "weight" else "bias"), arr)
+        elif parts[0] == "blocks":
+            base = f"backbone/block{parts[1]}"
+            sub = parts[2]
+            if sub in ("norm1", "norm2"):
+                _set(params, f"{base}/{sub}/"
+                     + ("scale" if leaf == "weight" else "bias"), arr)
+            elif sub == "proj":
+                _set(params, f"{base}/proj/{leaf}",
+                     convert_tensor(key, arr,
+                                    "linear" if leaf == "weight" else
+                                    "none"))
+            elif sub == "mlp":
+                _set(params, f"{base}/mlp_{parts[3]}/{leaf}",
+                     convert_tensor(key, arr,
+                                    "linear" if leaf == "weight" else
+                                    "none"))
+            elif sub == "attn":
+                name = parts[3]
+                if name in ("rel_pos_h", "rel_pos_w"):
+                    _set(params, f"{base}/attn/{name}", arr)
+                elif name.startswith("pool_"):
+                    _set(params, f"{base}/attn/{name[5:]}_pool/pool/weight",
+                         convert_tensor(key, arr, "conv"))
+                elif name.startswith("norm_"):
+                    _set(params, f"{base}/attn/{name[5:]}_pool/norm/"
+                         + ("scale" if leaf == "weight" else "bias"), arr)
+                else:  # qkv / proj linears
+                    _set(params, f"{base}/attn/{name}/{leaf}",
+                         convert_tensor(key, arr,
+                                        "linear" if leaf == "weight"
+                                        else "none"))
+    return {"params": params}
+
+
+# ---------------------------------------------------------------------------
+# BiDAEFormer (2D/networks/BiEncoderDAEDecoder.py)
+# ---------------------------------------------------------------------------
+
+def convert_bidae(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Convert a BiDAEFormer state_dict to models.biformer.BiDAEFormer
+    variables.
+
+    Decoders are DAEFormer-style (live cross_attn + DualTransformerBlock
+    pairs) → the generic DAEFormer walk. Backbone (BiFormer_mm):
+    downsample_layers.0.[0,1,3,4] → stem_conv1/bn1/conv2/bn2 (+ BN
+    running stats to batch_stats); downsample_layers.i → down{i}_conv/bn;
+    stages.s.i → stage{s}_blk{i} with attn.qkv.qkv (QKVLinear) and the
+    plain attn.qkv of AttentionLePE both → attn/qkv; mlp.[0,3] →
+    fc1/fc2; extra_norms.i → extra_norm{i}."""
+    sd = _strip_prefix(sd)
+    params: dict = {}
+    stats: dict = {}
+
+    def put_bn(tgt, leaf, arr):
+        if leaf in ("weight", "bias"):
+            _set(params, f"{tgt}/" + ("scale" if leaf == "weight"
+                                      else "bias"), arr)
+        elif leaf == "running_mean":
+            _set(stats, f"{tgt}/mean", arr)
+        elif leaf == "running_var":
+            _set(stats, f"{tgt}/var", arr)
+
+    for key, v in sd.items():
+        arr = np.asarray(v)
+        parts = key.split(".")
+        leaf = parts[-1]
+        if leaf == "num_batches_tracked":
+            continue
+        if not key.startswith("backbone."):
+            _daeformer_walk_key(params, key, v)
+            continue
+        bp = parts[1:]
+        if bp[0] == "downsample_layers":
+            i, idx = int(bp[1]), bp[2]
+            if i == 0:
+                name = {"0": "stem_conv1", "1": "stem_bn1",
+                        "3": "stem_conv2", "4": "stem_bn2"}[idx]
+            else:
+                name = {"0": f"down{i}_conv", "1": f"down{i}_bn"}[idx]
+            tgt = f"backbone/{name}"
+            if "bn" in name:
+                put_bn(tgt, leaf, arr)
+            else:
+                _set(params, f"{tgt}/{leaf}", convert_tensor(
+                    key, arr, "conv" if leaf == "weight" else "none"))
+        elif bp[0] == "extra_norms":
+            _set(params, f"backbone/extra_norm{bp[1]}/"
+                 + ("scale" if leaf == "weight" else "bias"), arr)
+        elif bp[0] == "stages":
+            base = f"backbone/stage{bp[1]}_blk{bp[2]}"
+            sub = bp[3]
+            if sub in ("norm1", "norm2"):
+                _set(params, f"{base}/{sub}/"
+                     + ("scale" if leaf == "weight" else "bias"), arr)
+            elif sub == "pos_embed":
+                _set(params, f"{base}/pos_embed/{leaf}", convert_tensor(
+                    key, arr, "conv" if leaf == "weight" else "none"))
+            elif sub == "mlp":
+                fc = "fc1" if bp[4] == "0" else "fc2"
+                _set(params, f"{base}/{fc}/{leaf}", convert_tensor(
+                    key, arr, "linear" if leaf == "weight" else "none"))
+            elif sub == "attn":
+                nm = bp[4]
+                if nm == "lepe":
+                    _set(params, f"{base}/attn/lepe/{leaf}",
+                         convert_tensor(key, arr, "conv"
+                                        if leaf == "weight" else "none"))
+                elif nm == "qkv":  # QKVLinear wrapper or plain Linear
+                    _set(params, f"{base}/attn/qkv/{leaf}",
+                         convert_tensor(key, arr, "linear"
+                                        if leaf == "weight" else "none"))
+                else:  # wo / proj
+                    _set(params, f"{base}/attn/{nm}/{leaf}",
+                         convert_tensor(key, arr, "linear"
+                                        if leaf == "weight" else "none"))
+    return {"params": params, "batch_stats": stats}
+
+
+# ---------------------------------------------------------------------------
+# STViT-LKA (2D/networks/STViTEncoder_LKADecoder.py STVitLKA)
+# ---------------------------------------------------------------------------
+
+def convert_stvitlka(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Convert an STVitLKA state_dict to models.stvit.STVitLKA variables.
+
+    Decoders via _convert_lka_decoders(deformable=False). Backbone
+    (SwinTransformer :616-855): patch_embed.proj.{0,1}.{c,bn} →
+    stem_conv/bn pairs; layers.L.blocks.i → stage{L}_blk{i} for the
+    Swin stages (L ∈ 0,1,3) and stage2/blk{i} for the Deit super-token
+    stage; downsample.{reduction,norm} → downsample{L}; norm{K} kept.
+    relative_position_index buffers are compile-time constants here."""
+    sd = _strip_prefix(sd)
+    params: dict = {}
+    stats: dict = {}
+    _convert_lka_decoders(params, stats, sd, deformable=False)
+
+    def put_bn(tgt, leaf, arr):
+        if leaf in ("weight", "bias"):
+            _set(params, f"{tgt}/" + ("scale" if leaf == "weight"
+                                      else "bias"), arr)
+        elif leaf == "running_mean":
+            _set(stats, f"{tgt}/mean", arr)
+        elif leaf == "running_var":
+            _set(stats, f"{tgt}/var", arr)
+
+    def block_leaf(base, rest, arr, key):
+        """Common Swin/STViT block-internals mapping."""
+        leaf = rest[-1]
+        if rest[0] in ("norm1", "norm2"):
+            _set(params, f"{base}/{rest[0]}/"
+                 + ("scale" if leaf == "weight" else "bias"), arr)
+        elif rest[0] in ("layer_scale_1", "layer_scale_2"):
+            _set(params, f"{base}/{rest[0]}", arr)
+        elif rest[0] == "mlp":
+            _set(params, f"{base}/{rest[1]}/{leaf}", convert_tensor(
+                key, arr, "linear" if leaf == "weight" else "none"))
+        elif rest[0] == "attn":
+            nm = rest[1]
+            if nm == "relative_position_bias_table":
+                _set(params, f"{base}/attn/{nm}", arr)
+            elif nm == "relative_position_index":
+                pass
+            else:  # q / kv / qkv / proj linears
+                _set(params, f"{base}/attn/{nm}/{leaf}", convert_tensor(
+                    key, arr, "linear" if leaf == "weight" else "none"))
+
+    for key, v in sd.items():
+        if not key.startswith("backbone."):
+            continue
+        parts = key.split(".")[1:]
+        arr = np.asarray(v)
+        leaf = parts[-1]
+        if leaf == "num_batches_tracked":
+            continue
+        if parts[0] == "patch_embed":
+            # proj Sequential: [ConvBN, hardswish, ConvBN] → indices 0, 2
+            i = 1 if parts[2] == "0" else 2
+            if parts[3] == "c":
+                _set(params, f"backbone/stem_conv{i}/weight",
+                     convert_tensor(key, arr, "conv"))
+            else:
+                put_bn(f"backbone/stem_bn{i}", leaf, arr)
+        elif parts[0].startswith("norm"):
+            _set(params, f"backbone/{parts[0]}/"
+                 + ("scale" if leaf == "weight" else "bias"), arr)
+        elif parts[0] == "layers":
+            L = parts[1]
+            if parts[2] == "downsample":
+                if parts[3] == "reduction":
+                    _set(params, f"backbone/downsample{L}/reduction/weight",
+                         convert_tensor(key, arr, "linear"))
+                else:
+                    _set(params, f"backbone/downsample{L}/norm/"
+                         + ("scale" if leaf == "weight" else "bias"), arr)
+            elif parts[2] == "blocks":
+                i = parts[3]
+                base = (f"backbone/stage2/blk{i}" if L == "2"
+                        else f"backbone/stage{L}_blk{i}")
+                block_leaf(base, parts[4:], arr, key)
+    return {"params": params, "batch_stats": stats}

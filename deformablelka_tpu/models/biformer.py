@@ -153,17 +153,20 @@ class BiFormerBlock(nn.Module):
         # conv position embedding (before_attn_dwconv=3)
         x = x + Conv2d(self.dim, 3, padding="same", groups=self.dim,
                        name="pos_embed")(x)
-        n1 = LayerNorm(name="norm1")(x)
+        n1 = LayerNorm(eps=1e-6, name="norm1")(x)  # Block: LN eps 1e-6
         if self.topk > 0:
             a = BiLevelRoutingAttention(
                 self.dim, self.num_heads, n_win=self.n_win,
                 topk=self.topk, side_dwconv=self.side_dwconv,
                 name="attn")(n1)
-        else:  # topk == -2 in this config: full attention + LePE
-            a = AttentionLePE(self.dim, self.num_heads,
-                              self.side_dwconv, name="attn")(n1)
+        else:  # topk == -2 in this config: full attention + LePE.
+            # Block passes only (dim, side_dwconv), so AttentionLePE
+            # keeps its DEFAULT num_heads=8 — not dim//head_dim
+            # (BiEncoderDAEDecoder.py:761).
+            a = AttentionLePE(self.dim, 8, self.side_dwconv,
+                              name="attn")(n1)
         x = x + a
-        n2 = LayerNorm(name="norm2")(x)
+        n2 = LayerNorm(eps=1e-6, name="norm2")(x)
         h = Linear(int(self.dim * self.mlp_ratio), name="fc1")(n2)
         h = Linear(self.dim, name="fc2")(gelu(h))
         return x + h
@@ -204,7 +207,8 @@ class BiFormer3Out(nn.Module):
                                   n_win=self.n_win, topk=topk,
                                   mlp_ratio=self.mlp_ratio,
                                   name=f"stage{s}_blk{i}")(x)
-            outs.append(LayerNorm(name=f"extra_norm{s}")(x))
+            # timm LayerNorm2d default eps=1e-6 (extra_norms)
+            outs.append(LayerNorm(eps=1e-6, name=f"extra_norm{s}")(x))
         return outs
 
 

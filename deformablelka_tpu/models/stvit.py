@@ -355,11 +355,14 @@ class STViT4Out(nn.Module):
                               name=f"stage{stage}")(t, H, W)
             else:
                 for i in range(self.depths[stage]):
+                    # det-Swin: shifted blocks shift even on a
+                    # single-window map (stage 3 at 7×7)
                     t = SwinBlock(dim, heads,
                                   window_size=self.window_size,
                                   shift_size=0 if i % 2 == 0 else
                                   self.window_size // 2,
                                   mlp_ratio=self.mlp_ratio,
+                                  clamp_shift=False,
                                   name=f"stage{stage}_blk{i}")(t, H, W)
             out = LayerNorm(name=f"norm{stage}")(t)
             outs.append(out.reshape(B, H, W, dim))

@@ -94,17 +94,25 @@ def shift_mask(H, W, ws, shift):
 
 
 class SwinBlock(nn.Module):
+    """clamp_shift=True (default) is SwinTransformerSys semantics:
+    shift disabled once the map is a single window (swinunet.py).
+    The detection-style Swin vendored in STViTEncoder_LKADecoder.py
+    (:205-263) has NO such clamp — it rolls and masks within the lone
+    window; STViT stage 3 (7×7) passes clamp_shift=False."""
     dim: int
     num_heads: int
     window_size: int = 7
     shift_size: int = 0
     mlp_ratio: float = 4.0
+    clamp_shift: bool = True
 
     @nn.compact
     def __call__(self, x, H, W):
         B, N, C = x.shape
         ws = min(self.window_size, H, W)
-        shift = self.shift_size if ws < min(H, W) else 0
+        shift = self.shift_size
+        if self.clamp_shift and ws >= min(H, W):
+            shift = 0
         shortcut = x
         x = LayerNorm(name="norm1")(x).reshape(B, H, W, C)
         if shift > 0:

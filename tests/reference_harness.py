@@ -505,3 +505,202 @@ def build_reference_2d_flagship(num_classes=9, seed=0):
 def state_dict_numpy(model):
     return {k: v.detach().cpu().numpy()
             for k, v in model.state_dict().items()}
+
+
+# ---------------------------------------------------------------------------
+# HiFormer support: torchvision resnet + timm ViT block shims.
+#
+# torchvision is absent in this image; PyramidFeatures (Encoder.py:125)
+# builds `torchvision.models.resnet34()` and keeps children[:7]. The
+# resnet34 below is the standard torchvision architecture (BasicBlock
+# [3,4,6,3]) with the same child order, so children[:7] slices
+# identically. timm.models.vision_transformer.{Mlp,Block} are the
+# standard pre-norm ViT pieces HiFormer's MultiScaleBlock stacks
+# (utils.py:483).
+# ---------------------------------------------------------------------------
+
+def _install_resnet_shim():
+    import torch
+    import torch.nn as nn
+    tv = sys.modules.get("torchvision")
+    if tv is None:
+        install_torchvision_shim()
+        tv = sys.modules["torchvision"]
+    if hasattr(tv, "models"):
+        return
+
+    class BasicBlock(nn.Module):
+        expansion = 1
+
+        def __init__(self, cin, cout, stride=1, downsample=None):
+            super().__init__()
+            self.conv1 = nn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(cout)
+            self.relu = nn.ReLU(inplace=True)
+            self.conv2 = nn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+            self.bn2 = nn.BatchNorm2d(cout)
+            self.downsample = downsample
+            self.stride = stride
+
+        def forward(self, x):
+            idt = x
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.bn2(self.conv2(out))
+            if self.downsample is not None:
+                idt = self.downsample(x)
+            return self.relu(out + idt)
+
+    class ResNet(nn.Module):
+        def __init__(self, layers):
+            super().__init__()
+            self.inplanes = 64
+            self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = nn.BatchNorm2d(64)
+            self.relu = nn.ReLU(inplace=True)
+            self.maxpool = nn.MaxPool2d(3, 2, 1)
+            self.layer1 = self._make_layer(64, layers[0])
+            self.layer2 = self._make_layer(128, layers[1], 2)
+            self.layer3 = self._make_layer(256, layers[2], 2)
+            self.layer4 = self._make_layer(512, layers[3], 2)
+            self.avgpool = nn.AdaptiveAvgPool2d(1)
+            self.fc = nn.Linear(512, 1000)
+
+        def _make_layer(self, planes, blocks, stride=1):
+            downsample = None
+            if stride != 1 or self.inplanes != planes:
+                downsample = nn.Sequential(
+                    nn.Conv2d(self.inplanes, planes, 1, stride,
+                              bias=False),
+                    nn.BatchNorm2d(planes))
+            layers = [BasicBlock(self.inplanes, planes, stride,
+                                 downsample)]
+            self.inplanes = planes
+            for _ in range(1, blocks):
+                layers.append(BasicBlock(planes, planes))
+            return nn.Sequential(*layers)
+
+        def forward(self, x):  # unused by PyramidFeatures
+            x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+            for l in (self.layer1, self.layer2, self.layer3, self.layer4):
+                x = l(x)
+            return self.fc(torch.flatten(self.avgpool(x), 1))
+
+    models = types.ModuleType("torchvision.models")
+    models.resnet34 = lambda pretrained=False, **kw: ResNet([3, 4, 6, 3])
+    tv.models = models
+    sys.modules["torchvision.models"] = models
+
+
+def _install_vit_shim():
+    import torch
+    import torch.nn as nn
+    if "timm.models.vision_transformer" in sys.modules:
+        return
+
+    class Mlp(nn.Module):
+        def __init__(self, in_features, hidden_features=None,
+                     out_features=None, act_layer=nn.GELU, drop=0.0):
+            super().__init__()
+            out_features = out_features or in_features
+            hidden_features = hidden_features or in_features
+            self.fc1 = nn.Linear(in_features, hidden_features)
+            self.act = act_layer()
+            self.fc2 = nn.Linear(hidden_features, out_features)
+            self.drop = nn.Dropout(drop)
+
+        def forward(self, x):
+            return self.drop(self.fc2(self.drop(self.act(self.fc1(x)))))
+
+    class Attention(nn.Module):
+        def __init__(self, dim, num_heads=8, qkv_bias=False,
+                     attn_drop=0.0, proj_drop=0.0):
+            super().__init__()
+            self.num_heads = num_heads
+            self.scale = (dim // num_heads) ** -0.5
+            self.qkv = nn.Linear(dim, dim * 3, bias=qkv_bias)
+            self.attn_drop = nn.Dropout(attn_drop)
+            self.proj = nn.Linear(dim, dim)
+            self.proj_drop = nn.Dropout(proj_drop)
+
+        def forward(self, x):
+            B, N, C = x.shape
+            h = self.num_heads
+            qkv = self.qkv(x).reshape(B, N, 3, h, C // h)
+            qkv = qkv.permute(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            attn = (q @ k.transpose(-2, -1)) * self.scale
+            attn = self.attn_drop(attn.softmax(dim=-1))
+            x = (attn @ v).transpose(1, 2).reshape(B, N, C)
+            return self.proj_drop(self.proj(x))
+
+    class Block(nn.Module):
+        def __init__(self, dim, num_heads, mlp_ratio=4.0, qkv_bias=False,
+                     drop=0.0, attn_drop=0.0, drop_path=0.0,
+                     act_layer=nn.GELU, norm_layer=nn.LayerNorm):
+            super().__init__()
+            self.norm1 = norm_layer(dim)
+            self.attn = Attention(dim, num_heads, qkv_bias, attn_drop,
+                                  drop)
+            self.norm2 = norm_layer(dim)
+            self.mlp = Mlp(dim, int(dim * mlp_ratio),
+                           act_layer=act_layer, drop=drop)
+
+        def forward(self, x):
+            x = x + self.attn(self.norm1(x))
+            return x + self.mlp(self.norm2(x))
+
+    def _cfg(url="", **kwargs):
+        return {"url": url, **kwargs}
+
+    vt = types.ModuleType("timm.models.vision_transformer")
+    vt.Mlp, vt.Attention, vt.Block, vt._cfg = Mlp, Attention, Block, _cfg
+    sys.modules["timm.models.vision_transformer"] = vt
+    sys.modules["timm.models"].vision_transformer = vt
+
+
+def hiformer_s_config(tmpdir):
+    """HiFormer-S config (HiFormer_configs.py:10-40) with pretrained
+    loads neutralised: resnet rand-init, and swin_pretrained_path
+    pointing at a generated random swin-tiny-style checkpoint carrying
+    exactly the keys PyramidFeatures consumes (Encoder.py:115-152)."""
+    import os
+    import torch
+    import ml_collections
+    install_all()
+    _install_resnet_shim()
+    _install_vit_shim()
+    skin = os.path.join(REF2D, "skin_code")
+    if skin not in sys.path:
+        sys.path.insert(0, skin)
+    from model.hiformer import Encoder as E
+
+    sw = E.SwinTransformer(224, in_chans=3)
+    sd = {k: v.clone() for k, v in sw.state_dict().items()}
+    torch.manual_seed(7)
+    for L, dim in ((0, 96), (1, 192)):
+        sd[f"layers.{L}.downsample.reduction.weight"] = \
+            torch.randn(2 * dim, 4 * dim) * 0.02
+        sd[f"layers.{L}.downsample.norm.weight"] = torch.ones(4 * dim)
+        sd[f"layers.{L}.downsample.norm.bias"] = torch.zeros(4 * dim)
+    path = os.path.join(str(tmpdir), "fake_swin_tiny.pth")
+    torch.save({"model": sd}, path)
+
+    cfg = ml_collections.ConfigDict()
+    cfg.swin_pyramid_fm = [96, 192, 384]
+    cfg.image_size = 224
+    cfg.patch_size = 4
+    cfg.num_classes = 9
+    cfg.swin_pretrained_path = path
+    cfg.cnn_backbone = "resnet34"
+    cfg.cnn_pyramid_fm = [64, 128, 256]
+    cfg.resnet_pretrained = False
+    cfg.depth = [[1, 1, 0]]
+    cfg.num_heads = (3, 3)
+    cfg.mlp_ratio = (1.0, 1.0, 1.0)
+    cfg.drop_rate = 0.0
+    cfg.attn_drop_rate = 0.0
+    cfg.drop_path_rate = 0.0
+    cfg.qkv_bias = True
+    cfg.qk_scale = None
+    cfg.cross_pos_embed = True
+    return cfg

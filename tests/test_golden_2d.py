@@ -338,3 +338,99 @@ def test_golden_dat_lka_full_model_parity():
     assert y_j.shape == y_t.shape
     assert np.abs(y_j - y_t).max() < 2e-4 * scale, \
         f"{np.abs(y_j - y_t).max()} vs {scale}"
+
+
+# ---------------------------------------------------------------------------
+# Golden: MViT-LKA (MViTv2 encoder ablation)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_golden_mvit_lka_full_model_parity():
+    """Full-model parity vs the real MViTLKAFormer
+    (2D/networks/mvit_LKA_Decoder.py:580-645 +
+    mvit_model_object_4out.py MViT backbone): hybrid window attention,
+    per-head pooling convs, decomposed rel-pos, LKA decoder quirks."""
+    rh.install_all()
+    torch.manual_seed(0)
+    from networks.mvit_LKA_Decoder import MViTLKAFormer as TorchMViT
+    ref = TorchMViT(num_classes=9).eval()
+
+    from deformablelka_tpu.convert.torch_loader import convert_mvitlka
+    from deformablelka_tpu.models.mvit import MViTLKAFormer
+
+    variables = convert_mvitlka(rh.state_dict_numpy(ref))
+    x = np.random.RandomState(0).randn(1, 3, 224, 224).astype(np.float32)
+    with torch.no_grad():
+        y_t = ref(torch.tensor(x)).numpy()
+    model = MViTLKAFormer(num_classes=9)
+    y_j = np.asarray(model.apply(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 1)))).transpose(
+        0, 3, 1, 2)
+    scale = max(np.abs(y_t).max(), 1.0)
+    assert y_j.shape == y_t.shape
+    assert np.abs(y_j - y_t).max() < 2e-4 * scale, \
+        f"{np.abs(y_j - y_t).max()} vs {scale}"
+
+
+# ---------------------------------------------------------------------------
+# Golden: BiDAEFormer (bi-level routing attention encoder ablation)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_golden_bidae_full_model_parity():
+    """Full-model parity vs the real BiDAEFormer
+    (2D/networks/BiEncoderDAEDecoder.py:1081-1166): BiFormer_mm encoder
+    (top-k window routing attention, LePE, AttentionLePE stage) + the
+    live DAEFormer decoder."""
+    rh.install_all()
+    torch.manual_seed(0)
+    from networks.BiEncoderDAEDecoder import BiDAEFormer as TorchBiDAE
+    ref = TorchBiDAE(num_classes=9).eval()
+
+    from deformablelka_tpu.convert.torch_loader import convert_bidae
+    from deformablelka_tpu.models.biformer import BiDAEFormer
+
+    variables = convert_bidae(rh.state_dict_numpy(ref))
+    x = np.random.RandomState(0).randn(1, 3, 224, 224).astype(np.float32)
+    with torch.no_grad():
+        y_t = ref(torch.tensor(x)).numpy()
+    model = BiDAEFormer(num_classes=9)
+    y_j = np.asarray(model.apply(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 1)))).transpose(
+        0, 3, 1, 2)
+    scale = max(np.abs(y_t).max(), 1.0)
+    assert y_j.shape == y_t.shape
+    assert np.abs(y_j - y_t).max() < 2e-4 * scale, \
+        f"{np.abs(y_j - y_t).max()} vs {scale}"
+
+
+# ---------------------------------------------------------------------------
+# Golden: STViT-LKA (super-token transformer encoder ablation)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_golden_stvit_lka_full_model_parity():
+    """Full-model parity vs the real STVitLKA
+    (2D/networks/STViTEncoder_LKADecoder.py:1117-1191): Swin stages +
+    the super-token Deit stage (semantic sampling / restore blocks) +
+    the LKA decoder quirks."""
+    rh.install_all()
+    torch.manual_seed(0)
+    from networks.STViTEncoder_LKADecoder import STVitLKA as TorchSTViT
+    ref = TorchSTViT(num_classes=9).eval()
+
+    from deformablelka_tpu.convert.torch_loader import convert_stvitlka
+    from deformablelka_tpu.models.stvit import STVitLKA
+
+    variables = convert_stvitlka(rh.state_dict_numpy(ref))
+    x = np.random.RandomState(0).randn(1, 3, 224, 224).astype(np.float32)
+    with torch.no_grad():
+        y_t = ref(torch.tensor(x)).numpy()
+    model = STVitLKA(num_classes=9)
+    y_j = np.asarray(model.apply(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 1)))).transpose(
+        0, 3, 1, 2)
+    scale = max(np.abs(y_t).max(), 1.0)
+    assert y_j.shape == y_t.shape
+    assert np.abs(y_j - y_t).max() < 2e-4 * scale, \
+        f"{np.abs(y_j - y_t).max()} vs {scale}"
