@@ -970,3 +970,149 @@ def convert_stvitlka(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
                         else f"backbone/stage{L}_blk{i}")
                 block_leaf(base, parts[4:], arr, key)
     return {"params": params, "batch_stats": stats}
+
+
+# ---------------------------------------------------------------------------
+# HiFormer (2D/skin_code/model/hiformer/)
+# ---------------------------------------------------------------------------
+
+def convert_hiformer(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Convert a HiFormer state_dict to models.hiformer.HiFormer
+    variables (reference_exact=True semantics: the shipped configs have
+    depth[-1]=0 so no fusion CrossAttentionBlocks exist, and the branch
+    ViT `blocks` params are dead — both are skipped here).
+
+    Key map: All2Cross.pyramid.resnet_layers.[0,1,4,5,6] →
+    root_conv/root_bn/layer1..3; swin_transformer.layers.L.blocks.i →
+    pyramid/swin{L}_{i}; p{k}_ch/p{k}_pm/norm_{k} kept;
+    All2Cross.pos_embed.i → pos_embed_{i}; blocks.b.{projs,revert_projs}
+    → dlf{b}/{proj,revert}{d}_{norm,linear}; norm.i → norm{i};
+    ConvUp_{l,s}.convs_level.[conv,gn strides] → convup_{l,s}; conv_pred
+    / segmentation_head Sequential index 0."""
+    sd = _strip_prefix(sd)
+    params: dict = {}
+    stats: dict = {}
+
+    def norm_leaf(p):
+        return "scale" if p == "weight" else "bias"
+
+    def put_bn(tgt, leaf, arr):
+        if leaf in ("weight", "bias"):
+            _set(params, f"{tgt}/{norm_leaf(leaf)}", arr)
+        elif leaf == "running_mean":
+            _set(stats, f"{tgt}/mean", arr)
+        elif leaf == "running_var":
+            _set(stats, f"{tgt}/var", arr)
+
+    def basic_block(base, rest, arr, key):
+        leaf = rest[-1]
+        if rest[0] in ("conv1", "conv2"):
+            _set(params, f"{base}/{rest[0]}/weight",
+                 convert_tensor(key, arr, "conv"))
+        elif rest[0] in ("bn1", "bn2"):
+            put_bn(f"{base}/{rest[0]}", leaf, arr)
+        elif rest[0] == "downsample":
+            if rest[1] == "0":
+                _set(params, f"{base}/down_conv/weight",
+                     convert_tensor(key, arr, "conv"))
+            else:
+                put_bn(f"{base}/down_bn", leaf, arr)
+
+    def swin_block(base, rest, arr, key):
+        leaf = rest[-1]
+        if rest[0] in ("norm1", "norm2"):
+            _set(params, f"{base}/{rest[0]}/{norm_leaf(leaf)}", arr)
+        elif rest[0] == "mlp":
+            _set(params, f"{base}/{rest[1]}/{leaf}", convert_tensor(
+                key, arr, "linear" if leaf == "weight" else "none"))
+        elif rest[0] == "attn":
+            if rest[1] == "relative_position_bias_table":
+                _set(params, f"{base}/attn/{rest[1]}", arr)
+            elif rest[1] != "relative_position_index":
+                _set(params, f"{base}/attn/{rest[1]}/{leaf}",
+                     convert_tensor(key, arr, "linear"
+                                    if leaf == "weight" else "none"))
+
+    for key, v in sd.items():
+        parts = key.split(".")
+        arr = np.asarray(v)
+        leaf = parts[-1]
+        if leaf in ("num_batches_tracked", "attn_mask"):
+            continue
+        if parts[0] == "All2Cross":
+            p = parts[1:]
+            if p[0] == "pos_embed":
+                _set(params, f"pos_embed_{p[1]}", arr)
+            elif p[0] == "norm":
+                _set(params, f"norm{p[1]}/{norm_leaf(leaf)}", arr)
+            elif p[0] == "blocks":
+                base = f"dlf{p[1]}"
+                if p[2] == "projs":
+                    d, idx = p[3], p[4]
+                    if idx == "0":
+                        _set(params, f"{base}/proj{d}_norm/"
+                             + norm_leaf(leaf), arr)
+                    else:
+                        _set(params, f"{base}/proj{d}_linear/{leaf}",
+                             convert_tensor(key, arr, "linear"
+                                            if leaf == "weight"
+                                            else "none"))
+                elif p[2] == "revert_projs":
+                    d, idx = p[3], p[4]
+                    if idx == "0":
+                        _set(params, f"{base}/revert{d}_norm/"
+                             + norm_leaf(leaf), arr)
+                    else:
+                        _set(params, f"{base}/revert{d}_linear/{leaf}",
+                             convert_tensor(key, arr, "linear"
+                                            if leaf == "weight"
+                                            else "none"))
+                # fusion.* / blocks.* are dead at the shipped configs
+            elif p[0] == "pyramid":
+                q = p[1:]
+                if q[0] == "resnet_layers":
+                    i = q[1]
+                    if i == "0":
+                        _set(params, "pyramid/root_conv/weight",
+                             convert_tensor(key, arr, "conv"))
+                    elif i == "1":
+                        put_bn("pyramid/root_bn", leaf, arr)
+                    elif i in ("4", "5", "6"):
+                        layer = f"layer{int(i) - 3}"
+                        basic_block(
+                            f"pyramid/{layer}/block{q[2]}", q[3:], arr,
+                            key)
+                elif q[0] == "swin_transformer":
+                    base = f"pyramid/swin{q[2]}_{q[4]}"
+                    swin_block(base, q[5:], arr, key)
+                elif q[0] in ("p1_ch", "p2_ch", "p3_ch"):
+                    _set(params, f"pyramid/{q[0]}/{leaf}", convert_tensor(
+                        key, arr, "conv" if leaf == "weight" else "none"))
+                elif q[0] in ("p1_pm", "p2_pm"):
+                    if q[1] == "reduction":
+                        _set(params, f"pyramid/{q[0]}/reduction/weight",
+                             convert_tensor(key, arr, "linear"))
+                    else:
+                        _set(params, f"pyramid/{q[0]}/norm/"
+                             + norm_leaf(leaf), arr)
+                elif q[0] in ("norm_1", "norm_2"):
+                    _set(params, f"pyramid/{q[0]}/{norm_leaf(leaf)}", arr)
+        elif parts[0] in ("ConvUp_l", "ConvUp_s"):
+            if parts[1] != "convs_level":
+                continue  # conv_tower aliases convs_level
+            tgt = "convup_l" if parts[0] == "ConvUp_l" else "convup_s"
+            idx = int(parts[2])
+            step = 4 if parts[0] == "ConvUp_s" else 3
+            lvl, off = divmod(idx, step)
+            if off == 0:
+                _set(params, f"{tgt}/conv{lvl}/weight",
+                     convert_tensor(key, arr, "conv"))
+            else:
+                _set(params, f"{tgt}/gn{lvl}/{norm_leaf(leaf)}", arr)
+        elif parts[0] == "conv_pred":
+            _set(params, f"conv_pred/{leaf}", convert_tensor(
+                key, arr, "conv" if leaf == "weight" else "none"))
+        elif parts[0] == "segmentation_head":
+            _set(params, f"segmentation_head/{leaf}", convert_tensor(
+                key, arr, "conv" if leaf == "weight" else "none"))
+    return {"params": params, "batch_stats": stats}

@@ -669,6 +669,12 @@ def hiformer_s_config(tmpdir):
     install_all()
     _install_resnet_shim()
     _install_vit_shim()
+    # utils.py's trailing test section imports medpy/SimpleITK at module
+    # level; stub them (unused by the models).
+    for name in ("medpy", "medpy.metric", "SimpleITK"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    sys.modules["medpy"].metric = sys.modules["medpy.metric"]
     skin = os.path.join(REF2D, "skin_code")
     if skin not in sys.path:
         sys.path.insert(0, skin)

@@ -434,3 +434,37 @@ def test_golden_stvit_lka_full_model_parity():
     assert y_j.shape == y_t.shape
     assert np.abs(y_j - y_t).max() < 2e-4 * scale, \
         f"{np.abs(y_j - y_t).max()} vs {scale}"
+
+
+# ---------------------------------------------------------------------------
+# Golden: HiFormer-S (skin baseline)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_golden_hiformer_full_model_parity(tmp_path):
+    """Full-model parity vs the real HiFormer
+    (2D/skin_code/model/hiformer/) at the HiFormer-S config: resnet34 +
+    Swin-tiny additive pyramid, CLS proj/revert DLF (the shipped
+    depth [[1,1,0]] config has depth[-1]=0, so the fusion cross
+    attention AND branch ViT blocks are dead — reference_exact=True
+    pins exactly that), ConvUpsample towers + seg head."""
+    cfg = rh.hiformer_s_config(tmp_path)
+    torch.manual_seed(0)
+    from model.hiformer.HiFormer import HiFormer as TorchHiFormer
+    ref = TorchHiFormer(config=cfg, img_size=224, n_classes=1).eval()
+
+    from deformablelka_tpu.convert.torch_loader import convert_hiformer
+    from deformablelka_tpu.models.hiformer import HiFormer
+
+    variables = convert_hiformer(rh.state_dict_numpy(ref))
+    x = np.random.RandomState(0).randn(1, 3, 224, 224).astype(np.float32)
+    with torch.no_grad():
+        y_t = ref(torch.tensor(x)).numpy()
+    model = HiFormer(num_classes=1, reference_exact=True)
+    y_j = np.asarray(model.apply(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 1)))).transpose(
+        0, 3, 1, 2)
+    scale = max(np.abs(y_t).max(), 1.0)
+    assert y_j.shape == y_t.shape
+    assert np.abs(y_j - y_t).max() < 2e-4 * scale, \
+        f"{np.abs(y_j - y_t).max()} vs {scale}"
