@@ -1116,3 +1116,109 @@ def convert_hiformer(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
             _set(params, f"segmentation_head/{leaf}", convert_tensor(
                 key, arr, "conv" if leaf == "weight" else "none"))
     return {"params": params, "batch_stats": stats}
+
+
+# ---------------------------------------------------------------------------
+# TransUNet / TransNorm (2D/skin_code/model/vit_seg_modeling.py)
+# ---------------------------------------------------------------------------
+
+def convert_transunet(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Convert a skin TransUNet (TransNorm variant) state_dict to
+    models.transunet.TransUNet variables.
+
+    transformer.embeddings.hybrid_model → hybrid_model (ResNetV2:
+    root conv/gn, body.blockB.unitU → blockB_unitU with
+    downsample/gn_proj); encoder.layer.i → block{i} (q/k/v/spatial/out
+    linears, ffn.fcX → fcX); decoder Conv2dReLU Sequentials [conv,bn] →
+    conv+bn (+ running stats); chatt.fc.[0,2] → chatt/fc{1,2}."""
+    sd = _strip_prefix(sd)
+    params: dict = {}
+    stats: dict = {}
+
+    def norm_leaf(p):
+        return "scale" if p == "weight" else "bias"
+
+    def put_bn(tgt, leaf, arr):
+        if leaf in ("weight", "bias"):
+            _set(params, f"{tgt}/{norm_leaf(leaf)}", arr)
+        elif leaf == "running_mean":
+            _set(stats, f"{tgt}/mean", arr)
+        elif leaf == "running_var":
+            _set(stats, f"{tgt}/var", arr)
+
+    def conv_relu(tgt, idx, leaf, arr, key):
+        if idx == "0":
+            _set(params, f"{tgt}/conv/weight",
+                 convert_tensor(key, arr, "conv"))
+        else:
+            put_bn(f"{tgt}/bn", leaf, arr)
+
+    for key, v in sd.items():
+        parts = key.split(".")
+        arr = np.asarray(v)
+        leaf = parts[-1]
+        if leaf == "num_batches_tracked":
+            continue
+        if parts[0] == "transformer":
+            p = parts[1:]
+            if p[0] == "embeddings":
+                if p[1] == "hybrid_model":
+                    q = p[2:]
+                    if q[0] == "root":
+                        if q[1] == "conv":
+                            _set(params, "hybrid_model/root_conv/weight",
+                                 convert_tensor(key, arr, "conv"))
+                        else:
+                            _set(params, "hybrid_model/root_gn/"
+                                 + norm_leaf(leaf), arr)
+                    elif q[0] == "body":
+                        base = f"hybrid_model/{q[1]}_{q[2]}"
+                        nm = q[3]
+                        if nm.startswith("conv") or nm == "downsample":
+                            _set(params, f"{base}/{nm}/weight",
+                                 convert_tensor(key, arr, "conv"))
+                        else:  # gn1/2/3 / gn_proj
+                            _set(params, f"{base}/{nm}/"
+                                 + norm_leaf(leaf), arr)
+                elif p[1] == "patch_embeddings":
+                    _set(params, f"patch_embeddings/{leaf}",
+                         convert_tensor(key, arr,
+                                        "conv" if leaf == "weight"
+                                        else "none"))
+                elif p[1] == "position_embeddings":
+                    _set(params, "position_embeddings", arr)
+            elif p[0] == "encoder":
+                if p[1] == "encoder_norm":
+                    _set(params, f"encoder_norm/{norm_leaf(leaf)}", arr)
+                elif p[1] == "layer":
+                    base = f"block{p[2]}"
+                    nm = p[3]
+                    if nm in ("attention_norm", "ffn_norm"):
+                        _set(params, f"{base}/{nm}/{norm_leaf(leaf)}",
+                             arr)
+                    elif nm == "attn":
+                        _set(params, f"{base}/attn/{p[4]}/{leaf}",
+                             convert_tensor(key, arr, "linear"
+                                            if leaf == "weight"
+                                            else "none"))
+                    elif nm == "ffn":
+                        _set(params, f"{base}/{p[4]}/{leaf}",
+                             convert_tensor(key, arr, "linear"
+                                            if leaf == "weight"
+                                            else "none"))
+        elif parts[0] == "decoder":
+            if parts[1] in ("conv_more", "conv_att"):
+                conv_relu(parts[1], parts[2], leaf, arr, key)
+            elif parts[1] == "blocks":
+                base = f"decoder{parts[2]}"
+                nm = parts[3]
+                if nm in ("conv1", "conv2", "convatt"):
+                    conv_relu(f"{base}/{nm}", parts[4], leaf, arr, key)
+                elif nm == "chatt":
+                    fc = "fc1" if parts[5] == "0" else "fc2"
+                    _set(params, f"{base}/chatt/{fc}/weight",
+                         convert_tensor(key, arr, "conv"))
+        elif parts[0] == "segmentation_head":
+            _set(params, f"segmentation_head/{leaf}", convert_tensor(
+                key, arr, "conv" if leaf == "weight" else "none"))
+    return {"params": params, "batch_stats": stats}

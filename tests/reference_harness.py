@@ -658,6 +658,22 @@ def _install_vit_shim():
     sys.modules["timm.models"].vision_transformer = vt
 
 
+def install_skin_path():
+    """sys.path + stubs for importing /root/reference/2D/skin_code
+    models (hiformer, vit_seg_modeling/TransUNet). medpy/SimpleITK are
+    imported by trailing test sections only — stub them."""
+    install_all()
+    _install_resnet_shim()
+    _install_vit_shim()
+    for name in ("medpy", "medpy.metric", "SimpleITK"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    sys.modules["medpy"].metric = sys.modules["medpy.metric"]
+    skin = os.path.join(REF2D, "skin_code")
+    if skin not in sys.path:
+        sys.path.insert(0, skin)
+
+
 def hiformer_s_config(tmpdir):
     """HiFormer-S config (HiFormer_configs.py:10-40) with pretrained
     loads neutralised: resnet rand-init, and swin_pretrained_path
@@ -666,18 +682,7 @@ def hiformer_s_config(tmpdir):
     import os
     import torch
     import ml_collections
-    install_all()
-    _install_resnet_shim()
-    _install_vit_shim()
-    # utils.py's trailing test section imports medpy/SimpleITK at module
-    # level; stub them (unused by the models).
-    for name in ("medpy", "medpy.metric", "SimpleITK"):
-        if name not in sys.modules:
-            sys.modules[name] = types.ModuleType(name)
-    sys.modules["medpy"].metric = sys.modules["medpy.metric"]
-    skin = os.path.join(REF2D, "skin_code")
-    if skin not in sys.path:
-        sys.path.insert(0, skin)
+    install_skin_path()
     from model.hiformer import Encoder as E
 
     sw = E.SwinTransformer(224, in_chans=3)

@@ -468,3 +468,39 @@ def test_golden_hiformer_full_model_parity(tmp_path):
     assert y_j.shape == y_t.shape
     assert np.abs(y_j - y_t).max() < 2e-4 * scale, \
         f"{np.abs(y_j - y_t).max()} vs {scale}"
+
+
+# ---------------------------------------------------------------------------
+# Golden: TransUNet / TransNorm (skin baseline)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_golden_transunet_full_model_parity():
+    """Full-model parity vs the real skin TransUNet (TransNorm variant,
+    2D/skin_code/model/vit_seg_modeling.py): ResNetV2 hybrid stem with
+    weight-standardised convs, 12 ViT blocks with the extra `spatial`
+    attention stream, channel-attention decoder, sigmoid output."""
+    rh.install_skin_path()
+    torch.manual_seed(0)
+    from model.vit_seg_modeling import (VisionTransformer as TorchTU,
+                                        CONFIGS)
+    cfg = CONFIGS["R50-ViT-B_16"]
+    cfg.n_classes = 1
+    cfg.patches.grid = (14, 14)
+    ref = TorchTU(cfg, img_size=224, num_classes=1).eval()
+
+    from deformablelka_tpu.convert.torch_loader import convert_transunet
+    from deformablelka_tpu.models.transunet import TransUNet
+
+    variables = convert_transunet(rh.state_dict_numpy(ref))
+    x = np.random.RandomState(0).randn(1, 3, 224, 224).astype(np.float32)
+    with torch.no_grad():
+        y_t = ref(torch.tensor(x)).numpy()
+    model = TransUNet(num_classes=1)
+    y_j = np.asarray(model.apply(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 1)))).transpose(
+        0, 3, 1, 2)
+    scale = max(np.abs(y_t).max(), 1.0)
+    assert y_j.shape == y_t.shape
+    assert np.abs(y_j - y_t).max() < 2e-4 * scale, \
+        f"{np.abs(y_j - y_t).max()} vs {scale}"
