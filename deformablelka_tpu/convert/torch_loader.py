@@ -1222,3 +1222,102 @@ def convert_transunet(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
             _set(params, f"segmentation_head/{leaf}", convert_tensor(
                 key, arr, "conv" if leaf == "weight" else "none"))
     return {"params": params, "batch_stats": stats}
+
+
+# ---------------------------------------------------------------------------
+# DAE-LKA (2D/networks/DAEEncoder_LKADecoder.py DAELKAFormer)
+# ---------------------------------------------------------------------------
+
+def convert_daelka(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Convert a DAELKAFormer state_dict to models.dae_lka.DAELKAFormer
+    variables: DAEFormer MiT backbone via the generic walk; the LKA
+    decoder stack (add-fusion, double layer_lka_1) via
+    _convert_lka_decoders(deformable=False)."""
+    sd = _strip_prefix(sd)
+    params: dict = {}
+    stats: dict = {}
+    _convert_lka_decoders(params, stats, sd, deformable=False)
+    for key, v in sd.items():
+        if key.startswith("backbone."):
+            _daeformer_walk_key(params, key, v)
+    return {"params": params, "batch_stats": stats}
+
+
+# ---------------------------------------------------------------------------
+# Generic nnU-Net (3D/d_lka_former/network_architecture/generic_UNet.py)
+# ---------------------------------------------------------------------------
+
+def convert_generic_unet(sd: Dict[str, np.ndarray],
+                         num_pool: int) -> Dict[str, Any]:
+    """Convert a Generic_UNet state_dict to models.generic_unet
+    variables.
+
+    conv_blocks_context.s → down{s} (s<num_pool) / bottleneck (the last
+    context entry is Sequential(StackedConvLayers, StackedConvLayers) →
+    block0/block1); decoder entries are built deepest-first in torch, so
+    tu.j / conv_blocks_localization.j / seg_outputs.j map to
+    up/dec/seg{num_pool-1-j}. Our convs are flax nn.Conv (leaf
+    `kernel`)."""
+    sd = _strip_prefix(sd)
+    params: dict = {}
+
+    def put_leaf(base, mod, leaf, arr, key):
+        """ConvDropoutNormNonlin leaves: conv.{weight,bias} /
+        instnorm.{weight,bias}."""
+        if mod == "conv":
+            _set(params,
+                 f"{base}/conv/" + ("kernel" if leaf == "weight"
+                                    else "bias"),
+                 convert_tensor(key, arr,
+                                "conv" if leaf == "weight" else "none"))
+        else:
+            _set(params, f"{base}/norm/"
+                 + ("scale" if leaf == "weight" else "bias"), arr)
+
+    def stacked_pair_block(prefix, sub, bidx):
+        """Sequential(StackedConvLayers(n-1), StackedConvLayers(1)) →
+        flat block index (bottleneck + localization stages)."""
+        if sub == 0:
+            return bidx
+        n0 = 0
+        while f"{prefix}.0.blocks.{n0}.conv.weight" in sd:
+            n0 += 1
+        return n0 + bidx
+
+    for key, v in sd.items():
+        parts = key.split(".")
+        arr = np.asarray(v)
+        leaf = parts[-1]
+        if parts[0] == "conv_blocks_context":
+            s = int(parts[1])
+            if s < num_pool:
+                # context.s.blocks.i.{conv,instnorm}
+                put_leaf(f"down{s}/block{parts[3]}", parts[4], leaf, arr,
+                         key)
+            else:
+                # context.last.{sub}.blocks.{i}.{conv,instnorm}
+                blk = stacked_pair_block(f"conv_blocks_context.{s}",
+                                         int(parts[2]), int(parts[4]))
+                put_leaf(f"bottleneck/block{blk}", parts[5], leaf, arr,
+                         key)
+        elif parts[0] == "conv_blocks_localization":
+            j = int(parts[1])
+            s = num_pool - 1 - j
+            blk = stacked_pair_block(f"conv_blocks_localization.{j}",
+                                     int(parts[2]), int(parts[4]))
+            put_leaf(f"dec{s}/block{blk}", parts[5], leaf, arr, key)
+        elif parts[0] == "tu":
+            j = int(parts[1])
+            s = num_pool - 1 - j
+            # flax nn.ConvTranspose correlates with the kernel as-is,
+            # torch conv_transpose convolves → flip the spatial axes
+            w = convert_tensor(key, arr, "conv_transpose")
+            nd = w.ndim - 2
+            w = w[tuple(slice(None, None, -1) for _ in range(nd))].copy()
+            _set(params, f"up{s}/kernel", w)
+        elif parts[0] == "seg_outputs":
+            j = int(parts[1])
+            s = num_pool - 1 - j
+            _set(params, f"seg{s}/kernel",
+                 convert_tensor(key, arr, "conv"))
+    return {"params": params}

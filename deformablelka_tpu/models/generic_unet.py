@@ -36,8 +36,12 @@ class ConvNormLRelu(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # torch-style symmetric padding (k//2 both sides): flax "SAME"
+        # pads (0, 1) on strided even inputs, shifting the grid by one
+        # voxel vs the reference conv
+        pad = [(k // 2, k // 2) for k in tuple(self.kernel)]
         x = nn.Conv(self.features, tuple(self.kernel),
-                    strides=tuple(self.stride), padding="SAME",
+                    strides=tuple(self.stride), padding=pad,
                     name="conv")(x)
         x = InstanceNorm(name="norm")(x)
         return lrelu(x)
@@ -116,6 +120,7 @@ class GenericUNet(nn.Module):
         for s in reversed(range(self.num_pool)):
             h = nn.ConvTranspose(feats[s], tuple(pools[s]),
                                  strides=tuple(pools[s]),
+                                 use_bias=False,  # transpconv bias=False
                                  name=f"up{s}")(h)
             h = jnp.concatenate([h, skips[s]], axis=-1)
             h = StackedConvLayers(feats[s], kernel=kernels[s],

@@ -504,3 +504,37 @@ def test_golden_transunet_full_model_parity():
     assert y_j.shape == y_t.shape
     assert np.abs(y_j - y_t).max() < 2e-4 * scale, \
         f"{np.abs(y_j - y_t).max()} vs {scale}"
+
+
+# ---------------------------------------------------------------------------
+# Golden: DAE-LKA (DAEFormer encoder + LKA decoder ablation)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_golden_dae_lka_full_model_parity():
+    """Full-model parity vs the real DAELKAFormer
+    (2D/networks/DAEEncoder_LKADecoder.py:572-634): the DAEFormer
+    dual-attention encoder with the add-fusion double-layer_lka_1 LKA
+    decoder."""
+    rh.install_all()
+    torch.manual_seed(0)
+    with rh.no_pretrained_load():
+        from networks.DAEEncoder_LKADecoder import (
+            DAELKAFormer as TorchDAELKA)
+    ref = TorchDAELKA(num_classes=9).eval()
+
+    from deformablelka_tpu.convert.torch_loader import convert_daelka
+    from deformablelka_tpu.models.dae_lka import DAELKAFormer
+
+    variables = convert_daelka(rh.state_dict_numpy(ref))
+    x = np.random.RandomState(0).randn(1, 3, 224, 224).astype(np.float32)
+    with torch.no_grad():
+        y_t = ref(torch.tensor(x)).numpy()
+    model = DAELKAFormer(num_classes=9)
+    y_j = np.asarray(model.apply(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 1)))).transpose(
+        0, 3, 1, 2)
+    scale = max(np.abs(y_t).max(), 1.0)
+    assert y_j.shape == y_t.shape
+    assert np.abs(y_j - y_t).max() < 2e-4 * scale, \
+        f"{np.abs(y_j - y_t).max()} vs {scale}"

@@ -172,3 +172,55 @@ def test_golden_3d_block_variant(variant):
     assert y_j.shape == y_t.shape
     assert np.abs(y_j - y_t).max() < 2e-4 * scale, \
         f"{variant}: {np.abs(y_j - y_t).max()} vs {scale}"
+
+
+# ---------------------------------------------------------------------------
+# Golden: Generic nnU-Net (the baseline/cascade network)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_golden_generic_unet_parity():
+    """Activation parity vs the real Generic_UNet
+    (network_architecture/generic_UNet.py) at a 3-pool 3D config with
+    deep supervision, convolutional pooling/upsampling, InstanceNorm +
+    LeakyReLU(1e-2) — the Trainer_synapse.initialize_network recipe
+    (:244-262)."""
+    rh.install_all_3d()
+    import torch as _t
+    from torch import nn as tnn
+    from d_lka_former.network_architecture.generic_UNet import Generic_UNet
+    from d_lka_former.network_architecture.initialization import (
+        InitWeights_He)
+
+    pool = [[2, 2, 2]] * 3
+    ks = [[3, 3, 3]] * 4
+    _t.manual_seed(0)
+    ref = Generic_UNet(
+        1, 16, 3, len(pool), 2, 2, tnn.Conv3d, tnn.InstanceNorm3d,
+        {"eps": 1e-5, "affine": True}, tnn.Dropout3d,
+        {"p": 0, "inplace": True}, tnn.LeakyReLU,
+        {"negative_slope": 1e-2, "inplace": True}, True, False,
+        lambda x: x, InitWeights_He(1e-2), pool, ks, False, True,
+        True).eval()
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    from deformablelka_tpu.convert.torch_loader import convert_generic_unet
+    from deformablelka_tpu.models.generic_unet import GenericUNet
+
+    variables = convert_generic_unet(sd, num_pool=len(pool))
+    x = np.random.RandomState(0).randn(1, 1, 32, 32, 32).astype(np.float32)
+    with torch.no_grad():
+        y_t = [t.numpy() for t in ref(torch.tensor(x))]
+
+    model = GenericUNet(num_classes=3, base_num_features=16, num_pool=3,
+                        pool_kernel_sizes=pool, conv_kernel_sizes=ks,
+                        do_ds=True)
+    y_j = model.apply(variables,
+                      jnp.asarray(x.transpose(0, 2, 3, 4, 1)))
+    assert len(y_j) == len(y_t)
+    for i, (a, b) in enumerate(zip(y_j, y_t)):
+        a = np.asarray(a).transpose(0, 4, 1, 2, 3)
+        scale = max(np.abs(b).max(), 1.0)
+        assert a.shape == b.shape
+        assert np.abs(a - b).max() < 2e-4 * scale, \
+            f"head {i}: {np.abs(a - b).max()} vs {scale}"
