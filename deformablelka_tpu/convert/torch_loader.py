@@ -1321,3 +1321,68 @@ def convert_generic_unet(sd: Dict[str, np.ndarray],
             _set(params, f"seg{s}/kernel",
                  convert_tensor(key, arr, "conv"))
     return {"params": params}
+
+
+# ---------------------------------------------------------------------------
+# Pancreas VNet (3D/pancreas_code/networks/vnet.py)
+# ---------------------------------------------------------------------------
+
+def convert_vnet(sd: Dict[str, np.ndarray],
+                 normalization: str = "batchnorm") -> Dict[str, Any]:
+    """Convert a vnet.py VNet state_dict to models.pancreas_baselines
+    .VNet variables. Sequential stride per stage is 3 with a norm
+    ([conv, norm, relu]) and 2 without; up-block deconv kernels are
+    spatially flipped for flax ConvTranspose."""
+    sd = _strip_prefix(sd)
+    params: dict = {}
+    stats: dict = {}
+    step = 3 if normalization != "none" else 2
+
+    def put_norm_leaf(tgt, leaf, arr):
+        if leaf in ("weight", "bias"):
+            _set(params, f"{tgt}/" + ("scale" if leaf == "weight"
+                                      else "bias"), arr)
+        elif leaf == "running_mean":
+            _set(stats, f"{tgt}/mean", arr)
+        elif leaf == "running_var":
+            _set(stats, f"{tgt}/var", arr)
+
+    for key, v in sd.items():
+        parts = key.split(".")
+        arr = np.asarray(v)
+        leaf = parts[-1]
+        if leaf == "num_batches_tracked":
+            continue
+        if parts[0] == "out_conv":
+            _set(params, f"out_conv/{'kernel' if leaf == 'weight' else 'bias'}",
+                 convert_tensor(key, arr,
+                                "conv" if leaf == "weight" else "none"))
+            continue
+        block, idx = parts[0], int(parts[2])
+        is_down = block.endswith("_dw")
+        is_up = block.endswith("_up")
+        if is_down or is_up:
+            if idx == 0:
+                if leaf == "weight":
+                    if is_up:
+                        w = convert_tensor(key, arr, "conv_transpose")
+                        w = w[(slice(None, None, -1),) * (w.ndim - 2)]
+                        _set(params, f"{block}/conv/kernel", w.copy())
+                    else:
+                        _set(params, f"{block}/conv/kernel",
+                             convert_tensor(key, arr, "conv"))
+                else:
+                    _set(params, f"{block}/conv/bias", arr)
+            else:
+                put_norm_leaf(f"{block}/norm", leaf, arr)
+        else:
+            stage, off = divmod(idx, step)
+            if off == 0:
+                _set(params, f"{block}/conv{stage}/"
+                     + ("kernel" if leaf == "weight" else "bias"),
+                     convert_tensor(key, arr,
+                                    "conv" if leaf == "weight"
+                                    else "none"))
+            else:
+                put_norm_leaf(f"{block}/norm{stage}", leaf, arr)
+    return {"params": params, "batch_stats": stats}

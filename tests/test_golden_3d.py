@@ -224,3 +224,42 @@ def test_golden_generic_unet_parity():
         assert a.shape == b.shape
         assert np.abs(a - b).max() < 2e-4 * scale, \
             f"head {i}: {np.abs(a - b).max()} vs {scale}"
+
+
+# ---------------------------------------------------------------------------
+# Golden: pancreas VNet baseline
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_golden_vnet_parity():
+    """Activation parity vs the real pancreas VNet
+    (3D/pancreas_code/networks/vnet.py:144-246, batchnorm config),
+    eval mode (dropout off)."""
+    import importlib.util
+    import torch as _t
+    spec = importlib.util.spec_from_file_location(
+        "pancreas_vnet",
+        "/root/reference/3D/pancreas_code/networks/vnet.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    _t.manual_seed(0)
+    ref = mod.VNet(n_channels=1, n_classes=2, normalization="batchnorm",
+                   has_dropout=True).eval()
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    from deformablelka_tpu.convert.torch_loader import convert_vnet
+    from deformablelka_tpu.models.pancreas_baselines import VNet
+
+    variables = convert_vnet(sd, normalization="batchnorm")
+    x = np.random.RandomState(0).randn(1, 1, 32, 32, 32).astype(np.float32)
+    with torch.no_grad():
+        y_t = ref(torch.tensor(x)).numpy()
+    model = VNet(n_classes=2, normalization="batchnorm",
+                 has_dropout=True, deterministic=True)
+    y_j = np.asarray(model.apply(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 4, 1)))).transpose(
+        0, 4, 1, 2, 3)
+    scale = max(np.abs(y_t).max(), 1.0)
+    assert y_j.shape == y_t.shape
+    assert np.abs(y_j - y_t).max() < 2e-4 * scale, \
+        f"{np.abs(y_j - y_t).max()} vs {scale}"
