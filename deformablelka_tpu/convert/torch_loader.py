@@ -892,6 +892,39 @@ def convert_bidae(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
 # STViT-LKA (2D/networks/STViTEncoder_LKADecoder.py STVitLKA)
 # ---------------------------------------------------------------------------
 
+def _put_bn(params, stats, tgt, leaf, arr):
+    if leaf in ("weight", "bias"):
+        _set(params, f"{tgt}/" + ("scale" if leaf == "weight"
+                                  else "bias"), arr)
+    elif leaf == "running_mean":
+        _set(stats, f"{tgt}/mean", arr)
+    elif leaf == "running_var":
+        _set(stats, f"{tgt}/var", arr)
+
+
+def _stvit_block_leaf(params, base, rest, arr, key):
+    """Common Swin/STViT block-internals mapping (norm1/norm2,
+    layer_scale, mlp.fcX, attn q/kv/qkv/proj + rel-pos table)."""
+    leaf = rest[-1]
+    if rest[0] in ("norm1", "norm2"):
+        _set(params, f"{base}/{rest[0]}/"
+             + ("scale" if leaf == "weight" else "bias"), arr)
+    elif rest[0] in ("layer_scale_1", "layer_scale_2"):
+        _set(params, f"{base}/{rest[0]}", arr)
+    elif rest[0] == "mlp":
+        _set(params, f"{base}/{rest[1]}/{leaf}", convert_tensor(
+            key, arr, "linear" if leaf == "weight" else "none"))
+    elif rest[0] == "attn":
+        nm = rest[1]
+        if nm == "relative_position_bias_table":
+            _set(params, f"{base}/attn/{nm}", arr)
+        elif nm == "relative_position_index":
+            pass
+        else:  # q / kv / qkv / proj linears
+            _set(params, f"{base}/attn/{nm}/{leaf}", convert_tensor(
+                key, arr, "linear" if leaf == "weight" else "none"))
+
+
 def convert_stvitlka(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     """Convert an STVitLKA state_dict to models.stvit.STVitLKA variables.
 
@@ -907,34 +940,10 @@ def convert_stvitlka(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     _convert_lka_decoders(params, stats, sd, deformable=False)
 
     def put_bn(tgt, leaf, arr):
-        if leaf in ("weight", "bias"):
-            _set(params, f"{tgt}/" + ("scale" if leaf == "weight"
-                                      else "bias"), arr)
-        elif leaf == "running_mean":
-            _set(stats, f"{tgt}/mean", arr)
-        elif leaf == "running_var":
-            _set(stats, f"{tgt}/var", arr)
+        _put_bn(params, stats, tgt, leaf, arr)
 
     def block_leaf(base, rest, arr, key):
-        """Common Swin/STViT block-internals mapping."""
-        leaf = rest[-1]
-        if rest[0] in ("norm1", "norm2"):
-            _set(params, f"{base}/{rest[0]}/"
-                 + ("scale" if leaf == "weight" else "bias"), arr)
-        elif rest[0] in ("layer_scale_1", "layer_scale_2"):
-            _set(params, f"{base}/{rest[0]}", arr)
-        elif rest[0] == "mlp":
-            _set(params, f"{base}/{rest[1]}/{leaf}", convert_tensor(
-                key, arr, "linear" if leaf == "weight" else "none"))
-        elif rest[0] == "attn":
-            nm = rest[1]
-            if nm == "relative_position_bias_table":
-                _set(params, f"{base}/attn/{nm}", arr)
-            elif nm == "relative_position_index":
-                pass
-            else:  # q / kv / qkv / proj linears
-                _set(params, f"{base}/attn/{nm}/{leaf}", convert_tensor(
-                    key, arr, "linear" if leaf == "weight" else "none"))
+        _stvit_block_leaf(params, base, rest, arr, key)
 
     for key, v in sd.items():
         if not key.startswith("backbone."):
@@ -1385,4 +1394,65 @@ def convert_vnet(sd: Dict[str, np.ndarray],
                                     else "none"))
             else:
                 put_norm_leaf(f"{block}/norm{stage}", leaf, arr)
+    return {"params": params, "batch_stats": stats}
+
+
+# ---------------------------------------------------------------------------
+# SemanticSTViT (2D/networks/STViTSegmentation.py)
+# ---------------------------------------------------------------------------
+
+def convert_semantic_stvit(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Convert a SemanticSTViT state_dict to
+    models.stvit.SemanticSTViT variables.
+
+    7 layers: 0,1 Swin+PatchMerging → enc{L}_blk{i}+down{L}; 2 Deit+
+    PatchMerging → enc2/blk{i}+down2; 3 Swin+PatchExpand → dec3_blk{i}
+    +up3; 4 Deit+PatchExpand → dec4/blk{i}+up4; 5,6 Swin+expand →
+    dec{L}_blk{i}+up{L}. The per-layer out-norms (norm0..6) only feed
+    the multi-output tuple the reference never returns (forward returns
+    x_final only, STViTSegmentation.py:1489-1495) — skipped."""
+    sd = _strip_prefix(sd)
+    params: dict = {}
+    stats: dict = {}
+    layer_base = {"0": "enc0_blk", "1": "enc1_blk", "2": "enc2/blk",
+                  "3": "dec3_blk", "4": "dec4_blk", "5": "dec5_blk",
+                  "6": "dec6_blk"}
+    updown = {"downsample": "down", "upsample": "up"}
+
+    for key, v in sd.items():
+        parts = key.split(".")
+        arr = np.asarray(v)
+        leaf = parts[-1]
+        if leaf == "num_batches_tracked" or parts[0].startswith("norm"):
+            continue
+        if parts[0] == "patch_embed":
+            i = 1 if parts[2] == "0" else 2
+            if parts[3] == "c":
+                _set(params, f"stem_conv{i}/weight",
+                     convert_tensor(key, arr, "conv"))
+            else:
+                _put_bn(params, stats, f"stem_bn{i}", leaf, arr)
+        elif parts[0] == "last_layer":
+            _set(params, f"last_layer/{leaf}", convert_tensor(
+                key, arr, "conv" if leaf == "weight" else "none"))
+        elif parts[0] == "layers":
+            L = parts[1]
+            if parts[2] == "blocks":
+                if L == "4" and parts[3] == "1":
+                    # depth-2 Deit: blk 1's semantic token is computed
+                    # and dropped (see models/stvit.SemanticSTViT) —
+                    # its params are dead
+                    continue
+                _stvit_block_leaf(params,
+                                  f"{layer_base[L]}{parts[3]}",
+                                  parts[4:], arr, key)
+            elif parts[2] in updown:
+                tgt = f"{updown[parts[2]]}{L}"
+                if parts[3] in ("reduction", "expand"):
+                    _set(params, f"{tgt}/{parts[3]}/weight",
+                         convert_tensor(key, arr, "linear"))
+                else:
+                    _set(params, f"{tgt}/norm/"
+                         + ("scale" if leaf == "weight" else "bias"),
+                         arr)
     return {"params": params, "batch_stats": stats}

@@ -424,9 +424,12 @@ class SemanticSTViT(nn.Module):
 
     def _swin(self, t, H, W, dim, heads, depth, name):
         for i in range(depth):
+            # det-Swin semantics: shifted blocks shift even when the
+            # map is one window (dec3 runs at 7×7)
             t = SwinBlock(dim, heads, window_size=self.window_size,
                           shift_size=0 if i % 2 == 0 else
                           self.window_size // 2,
+                          clamp_shift=False,
                           name=f"{name}_blk{i}")(t, H, W)
         return t
 
@@ -466,8 +469,14 @@ class SemanticSTViT(nn.Module):
         t = PatchExpand(name="up3")(t.reshape(B, H, W, 8 * d))
         H, W = H * 2, W * 2
         t = t.reshape(B, H * W, 4 * d)
-        t = DeitStage(4 * d, self.num_heads[4],
-                      window_size=self.window_size, name="dec4")(t, H, W)
+        # layer 4 is a depth-2 Deit: [Swin, SemanticAttentionBlock] —
+        # but Deit.forward never CONSUMES the blk-1 semantic token at
+        # depth 2 (STViTSegmentation.py:1048-1057: it is assigned and
+        # dropped; only blk 5 would read it), so the decoder Deit stage
+        # reduces to its Swin block. blk-1's params are dead.
+        t = SwinBlock(4 * d, self.num_heads[4],
+                      window_size=self.window_size, shift_size=0,
+                      name="dec4_blk0")(t, H, W)
         t = PatchExpand(name="up4")(t.reshape(B, H, W, 4 * d))
         H, W = H * 2, W * 2
         t = t.reshape(B, H * W, 2 * d)

@@ -538,3 +538,36 @@ def test_golden_dae_lka_full_model_parity():
     assert y_j.shape == y_t.shape
     assert np.abs(y_j - y_t).max() < 2e-4 * scale, \
         f"{np.abs(y_j - y_t).max()} vs {scale}"
+
+
+# ---------------------------------------------------------------------------
+# Golden: SemanticSTViT (pure super-token encoder-decoder)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_golden_semantic_stvit_full_model_parity():
+    """Full-model parity vs the real SemanticSTViT
+    (2D/networks/STViTSegmentation.py:1182-1495): 7-layer skipless
+    encoder-decoder with two Deit super-token stages and Swin stages
+    (det-Swin shifts at 7x7), PatchMerging/PatchExpand transitions."""
+    rh.install_all()
+    torch.manual_seed(0)
+    from networks.STViTSegmentation import SemanticSTViT as TorchSST
+    ref = TorchSST(num_classes=9).eval()
+
+    from deformablelka_tpu.convert.torch_loader import (
+        convert_semantic_stvit)
+    from deformablelka_tpu.models.stvit import SemanticSTViT
+
+    variables = convert_semantic_stvit(rh.state_dict_numpy(ref))
+    x = np.random.RandomState(0).randn(1, 3, 224, 224).astype(np.float32)
+    with torch.no_grad():
+        y_t = ref(torch.tensor(x)).numpy()
+    model = SemanticSTViT(num_classes=9)
+    y_j = np.asarray(model.apply(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 1)))).transpose(
+        0, 3, 1, 2)
+    scale = max(np.abs(y_t).max(), 1.0)
+    assert y_j.shape == y_t.shape
+    assert np.abs(y_j - y_t).max() < 2e-4 * scale, \
+        f"{np.abs(y_j - y_t).max()} vs {scale}"
