@@ -1456,3 +1456,45 @@ def convert_semantic_stvit(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
                          + ("scale" if leaf == "weight" else "bias"),
                          arr)
     return {"params": params, "batch_stats": stats}
+
+
+# ---------------------------------------------------------------------------
+# SegFormer (2D/networks/segformer.py)
+# ---------------------------------------------------------------------------
+
+def convert_segformer(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Convert a segformer.py SegFormer state_dict to
+    nn.segformer.SegFormer variables.
+
+    Backbone MiT via the DAEFormer generic walk (blockK.N → blockK_N).
+    Decode head: decode_head.linear_cK.proj → linear_cK;
+    linear_fuse.{conv,bn} → linear_fuse + bn (running stats to
+    batch_stats); linear_pred kept; the dead conv_seg (never called in
+    Decoder.forward) is skipped."""
+    sd = _strip_prefix(sd)
+    params: dict = {}
+    stats: dict = {}
+    for key, v in sd.items():
+        parts = key.split(".")
+        arr = np.asarray(v)
+        leaf = parts[-1]
+        if leaf == "num_batches_tracked":
+            continue
+        if parts[0] == "backbone":
+            _daeformer_walk_key(params, key, v)
+        elif parts[0] == "decode_head":
+            nm = parts[1]
+            if nm.startswith("linear_c") and nm != "linear_fuse":
+                _set(params, f"{nm}/{leaf}", convert_tensor(
+                    key, arr, "linear" if leaf == "weight" else "none"))
+            elif nm == "linear_fuse":
+                if parts[2] == "conv":
+                    _set(params, "linear_fuse/weight",
+                         convert_tensor(key, arr, "conv"))
+                elif parts[2] == "bn":
+                    _put_bn(params, stats, "bn", leaf, arr)
+            elif nm == "linear_pred":
+                _set(params, f"linear_pred/{leaf}", convert_tensor(
+                    key, arr, "conv" if leaf == "weight" else "none"))
+            # conv_seg: dead
+    return {"params": params, "batch_stats": stats}

@@ -252,15 +252,23 @@ class MiT(nn.Module):
 
 
 class SegFormer(nn.Module):
-    """All-MLP decode head over MiT features (segformer.py:540-…)."""
+    """All-MLP decode head over MiT features (segformer.py:540-…).
+
+    upsample_to_input=False reproduces the reference file exactly: its
+    forward returns logits at the /4 (c1) resolution with no final
+    upsample (segformer.py:585-…); True (default) adds the x4 bilinear
+    to input resolution for direct training/inference use."""
     num_classes: int = 9
     dims: Sequence[int] = (64, 128, 320, 512)
     layers: Sequence[int] = (2, 2, 2, 2)
     embed_dim: int = 256
+    upsample_to_input: bool = True
 
     @nn.compact
     def __call__(self, x):
         import jax
+        if x.shape[-1] == 1:
+            x = jnp.repeat(x, 3, axis=-1)
         feats = MiT(self.dims, self.layers, name="backbone")(x)
         B = x.shape[0]
         H0, W0 = feats[0].shape[1:3]
@@ -278,6 +286,8 @@ class SegFormer(nn.Module):
                        name="linear_fuse")(fused)
         fused = nn.relu(BatchNorm(name="bn")(fused))
         logits = Conv2d(self.num_classes, (1, 1), name="linear_pred")(fused)
+        if not self.upsample_to_input:
+            return logits
         out_hw = (x.shape[1], x.shape[2])
         return jax.image.resize(
             logits, (B, *out_hw, self.num_classes), "bilinear")

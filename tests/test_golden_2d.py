@@ -571,3 +571,35 @@ def test_golden_semantic_stvit_full_model_parity():
     assert y_j.shape == y_t.shape
     assert np.abs(y_j - y_t).max() < 2e-4 * scale, \
         f"{np.abs(y_j - y_t).max()} vs {scale}"
+
+
+# ---------------------------------------------------------------------------
+# Golden: SegFormer (B1 config)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_golden_segformer_full_model_parity():
+    """Full-model parity vs the real SegFormer (2D/networks/
+    segformer.py:585-…, model "B1" matching this repo's defaults):
+    MiT encoder + all-MLP decode head, logits at /4 resolution
+    (upsample_to_input=False pins the reference's no-upsample output)."""
+    rh.install_all()
+    torch.manual_seed(0)
+    from networks.segformer import SegFormer as TorchSegFormer
+    ref = TorchSegFormer("B1", num_classes=9, image_size=224).eval()
+
+    from deformablelka_tpu.convert.torch_loader import convert_segformer
+    from deformablelka_tpu.nn.segformer import SegFormer
+
+    variables = convert_segformer(rh.state_dict_numpy(ref))
+    x = np.random.RandomState(0).randn(1, 3, 224, 224).astype(np.float32)
+    with torch.no_grad():
+        y_t = ref(torch.tensor(x)).numpy()
+    model = SegFormer(num_classes=9, upsample_to_input=False)
+    y_j = np.asarray(model.apply(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 1)))).transpose(
+        0, 3, 1, 2)
+    scale = max(np.abs(y_t).max(), 1.0)
+    assert y_j.shape == y_t.shape
+    assert np.abs(y_j - y_t).max() < 2e-4 * scale, \
+        f"{np.abs(y_j - y_t).max()} vs {scale}"
