@@ -112,6 +112,26 @@ class DeformConv2dSlice(nn.Module):
 # Gating units (LKA3d family). All operate on (B, S1, S2, S3, C).
 # ---------------------------------------------------------------------------
 
+def _dw_pair3d(x, dim):
+    """The LKA chain's two depthwise convs (dw5³ → dw7³-dil3). With
+    DLKA_LKA_IMPL=fused (and a supported shape) both run in ONE Pallas
+    kernel (ops/pallas/lka_fused_kernel) — the intermediate never
+    leaves VMEM; param tree identical either way."""
+    from deformablelka_tpu.ops.lka import lka_impl
+    if lka_impl() == "fused":
+        from deformablelka_tpu.ops.pallas.lka_fused_kernel import (
+            dw_chain3d_fused, lka3d_fused_supported)
+        if lka3d_fused_supported(*x.shape[1:4]):
+            w0, b0 = Conv3d(dim, 5, padding=2, groups=dim, name="conv0",
+                            as_params=True)(x)
+            ws, bs = Conv3d(dim, 7, padding=9, dilation=3, groups=dim,
+                            name="conv_spatial", as_params=True)(x)
+            return dw_chain3d_fused(x, w0, b0, ws, bs)
+    attn = Conv3d(dim, 5, padding=2, groups=dim, name="conv0")(x)
+    return Conv3d(dim, 7, padding=9, dilation=3, groups=dim,
+                  name="conv_spatial")(attn)
+
+
 class LKA3d(nn.Module):
     """Plain 3D LKA gate: dw5³ → dw7³ dil3 → 1×1×1, multiply."""
 
@@ -119,9 +139,7 @@ class LKA3d(nn.Module):
     def __call__(self, x):
         dim = x.shape[-1]
         u = x
-        attn = Conv3d(dim, 5, padding=2, groups=dim, name="conv0")(x)
-        attn = Conv3d(dim, 7, padding=9, dilation=3, groups=dim,
-                      name="conv_spatial")(attn)
+        attn = _dw_pair3d(x, dim)
         attn = Conv3d(dim, 1, name="conv1")(attn)
         return u * attn
 
@@ -134,9 +152,7 @@ class LKA3dDeform(nn.Module):
     def __call__(self, x):
         dim = x.shape[-1]
         u = x
-        attn = Conv3d(dim, 5, padding=2, groups=dim, name="conv0")(x)
-        attn = Conv3d(dim, 7, padding=9, dilation=3, groups=dim,
-                      name="conv_spatial")(attn)
+        attn = _dw_pair3d(x, dim)
         attn = DeformConvPack3d(name="deform_conv")(attn)
         attn = Conv3d(dim, 1, name="conv1")(attn)
         return u * attn
@@ -150,9 +166,7 @@ class LKA3dConv(nn.Module):
     def __call__(self, x):
         dim = x.shape[-1]
         u = x
-        attn = Conv3d(dim, 5, padding=2, groups=dim, name="conv0")(x)
-        attn = Conv3d(dim, 7, padding=9, dilation=3, groups=dim,
-                      name="conv_spatial")(attn)
+        attn = _dw_pair3d(x, dim)
         attn = Conv3d(dim, 3, padding=1, name="conv")(attn)
         attn = Conv3d(dim, 1, name="conv1")(attn)
         return u * attn

@@ -47,6 +47,9 @@ class Conv2d(nn.Module):
     groups: int = 1
     use_bias: bool = True
     kernel_init: Optional[Callable] = None
+    as_params: bool = False  # return (w, b) instead of applying (lets a
+    # caller feed several convs' weights to one fused kernel while the
+    # param tree stays identical to the unfused module)
 
     @nn.compact
     def __call__(self, x):
@@ -59,6 +62,8 @@ class Conv2d(nn.Module):
         if self.use_bias:
             fan_in = kh * kw * (cin // self.groups)
             b = self.param("bias", _conv_bias_init(fan_in), (self.features,))
+        if self.as_params:
+            return w, b
         return C.conv2d(x, w, stride=self.stride, padding=self.padding,
                         dilation=self.dilation, groups=self.groups, bias=b)
 
@@ -72,6 +77,7 @@ class Conv3d(nn.Module):
     groups: int = 1
     use_bias: bool = True
     kernel_init: Optional[Callable] = None
+    as_params: bool = False  # see Conv2d.as_params
 
     @nn.compact
     def __call__(self, x):
@@ -84,6 +90,8 @@ class Conv3d(nn.Module):
         if self.use_bias:
             fan_in = kd * kh * kw * (cin // self.groups)
             b = self.param("bias", _conv_bias_init(fan_in), (self.features,))
+        if self.as_params:
+            return w, b
         return C.conv3d(x, w, stride=self.stride, padding=self.padding,
                         dilation=self.dilation, groups=self.groups, bias=b)
 

@@ -81,6 +81,24 @@ class deformable_LKA_Attention(nn.Module):
         return x + shortcut
 
 
+def _dw_pair2d(x, dim):
+    """The 2D LKA chain's two depthwise convs; with DLKA_LKA_IMPL=fused
+    both run in one Pallas kernel (see blocks3d._dw_pair3d)."""
+    from deformablelka_tpu.ops.lka import lka_impl
+    if lka_impl() == "fused":
+        from deformablelka_tpu.ops.pallas.lka_fused_kernel import (
+            dw_chain2d_fused, lka2d_fused_supported)
+        if lka2d_fused_supported(*x.shape[1:3]):
+            w0, b0 = Conv2d(dim, 5, padding=2, groups=dim, name="conv0",
+                            as_params=True)(x)
+            ws, bs = Conv2d(dim, 7, padding=9, dilation=3, groups=dim,
+                            name="conv_spatial", as_params=True)(x)
+            return dw_chain2d_fused(x, w0, b0, ws, bs)
+    attn = Conv2d(dim, 5, padding=2, groups=dim, name="conv0")(x)
+    return Conv2d(dim, 7, padding=9, dilation=3, groups=dim,
+                  name="conv_spatial")(attn)
+
+
 class AttentionModule(nn.Module):
     """Plain (non-deformable) LKA gate — LKA.py:4-18."""
 
@@ -88,9 +106,7 @@ class AttentionModule(nn.Module):
     def __call__(self, x):
         dim = x.shape[-1]
         u = x
-        attn = Conv2d(dim, 5, padding=2, groups=dim, name="conv0")(x)
-        attn = Conv2d(dim, 7, padding=9, dilation=3, groups=dim,
-                      name="conv_spatial")(attn)
+        attn = _dw_pair2d(x, dim)
         attn = Conv2d(dim, 1, name="conv1")(attn)
         return u * attn
 

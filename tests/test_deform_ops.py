@@ -452,3 +452,76 @@ def test_window2d_custom_vjp_matches_autodiff(depthwise, radius, pad,
     for name, a, b in zip(("dx", "doff", "dw"), gc, ga):
         scale = max(float(jnp.max(jnp.abs(b))), 1.0)
         assert float(jnp.max(jnp.abs(a - b))) < 1e-4 * scale, name
+
+
+def test_lka_fused_interpret_parity():
+    """ops/pallas/lka_fused_kernel: the fused dw5→dw7d3→1×1 gate chain
+    (both depthwise stages in ONE pallas_call) vs ops.lka on CPU
+    (interpret mode), forward + grad, 2D and 3D."""
+    from deformablelka_tpu.ops.pallas.lka_fused_kernel import (
+        lka2d_fused, lka3d_fused)
+    from deformablelka_tpu.ops.lka import lka2d, lka3d
+
+    rng = np.random.RandomState(3)
+    C = 3
+    b5 = jnp.asarray(rng.randn(C), jnp.float32)
+    b7 = jnp.asarray(rng.randn(C), jnp.float32)
+    bp = jnp.asarray(rng.randn(C), jnp.float32)
+
+    x = jnp.asarray(rng.randn(1, 4, 5, 6, C), jnp.float32)
+    w5 = jnp.asarray(rng.randn(5, 5, 5, 1, C), jnp.float32) * 0.2
+    w7 = jnp.asarray(rng.randn(7, 7, 7, 1, C), jnp.float32) * 0.1
+    wp = jnp.asarray(rng.randn(1, 1, 1, C, C), jnp.float32) * 0.3
+    y_ref = lka3d(x, w5, b5, w7, b7, wp, bp)
+    y_f = lka3d_fused(x, w5, b5, w7, b7, wp, bp, True)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_ref),
+                               atol=1e-4)
+    g_f = jax.grad(lambda x: jnp.sum(
+        lka3d_fused(x, w5, b5, w7, b7, wp, bp, True) ** 2))(x)
+    g_r = jax.grad(lambda x: jnp.sum(
+        lka3d(x, w5, b5, w7, b7, wp, bp) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_r),
+                               atol=1e-3)
+
+    x2 = jnp.asarray(rng.randn(2, 6, 7, C), jnp.float32)
+    w52 = jnp.asarray(rng.randn(5, 5, 1, C), jnp.float32) * 0.2
+    w72 = jnp.asarray(rng.randn(7, 7, 1, C), jnp.float32) * 0.1
+    wp2 = jnp.asarray(rng.randn(1, 1, C, C), jnp.float32) * 0.3
+    y2_ref = lka2d(x2, w52, b5, w72, b7, wp2, bp)
+    y2_f = lka2d_fused(x2, w52, b5, w72, b7, wp2, bp, True)
+    np.testing.assert_allclose(np.asarray(y2_f), np.asarray(y2_ref),
+                               atol=1e-4)
+
+
+def test_lka_fused_module_dispatch(monkeypatch):
+    """DLKA_LKA_IMPL=fused routes the nn LKA gates through the fused
+    kernel with an IDENTICAL param tree (as_params conv reuse); outputs
+    match the default chain. DLKA_LKA_INTERPRET=1 exercises the real
+    dispatch path on CPU."""
+    from deformablelka_tpu.nn.blocks3d import LKA3d
+    from deformablelka_tpu.nn.lka2d import AttentionModule
+
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (1, 4, 5, 6, 4), jnp.float32)
+    m = LKA3d()
+    v = m.init(rng, x)
+    y_chain = m.apply(v, x)
+
+    monkeypatch.setenv("DLKA_LKA_IMPL", "fused")
+    monkeypatch.setenv("DLKA_LKA_INTERPRET", "1")
+    v_f = m.init(rng, x)
+    assert jax.tree_util.tree_structure(v_f) == \
+        jax.tree_util.tree_structure(v)
+    y_fused = m.apply(v, x)
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_chain),
+                               atol=1e-5)
+
+    x2 = jax.random.normal(rng, (1, 6, 7, 4), jnp.float32)
+    m2 = AttentionModule()
+    monkeypatch.delenv("DLKA_LKA_IMPL")
+    v2 = m2.init(rng, x2)
+    y2_chain = m2.apply(v2, x2)
+    monkeypatch.setenv("DLKA_LKA_IMPL", "fused")
+    y2_fused = m2.apply(v2, x2)
+    np.testing.assert_allclose(np.asarray(y2_fused),
+                               np.asarray(y2_chain), atol=1e-5)
