@@ -60,7 +60,11 @@ def _backend_ok() -> bool:
 
 
 def lka3d_fused_supported(D, H, W, dil=3):
+    # (D+22)·(H+22) ≤ 1152: remote Mosaic rejects kernels whose values
+    # exceed ~1152 in non-lane-dim product (bisected 2026-08-17:
+    # (38,30,·) compiles, (34,34,·) does not — PERF.md constraint #7).
     return (_backend_ok() and dil == 3 and W + 2 * M3 <= MAX_LANES
+            and (D + 2 * M3) * (H + 2 * M3) <= 1152
             and min(D, H, W) >= 1)
 
 
