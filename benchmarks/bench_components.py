@@ -1,6 +1,9 @@
 """Per-component TPU timings for the 3D flagship forward at the
 Synapse tile (64x128x128): where do the milliseconds go now?"""
-import os, time
+import os, sys, time
+
+sys.path.insert(0, "/root/repo")
+
 import numpy as np, jax, jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")

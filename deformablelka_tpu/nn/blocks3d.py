@@ -189,9 +189,13 @@ class LKA3dDeformSizeAware(nn.Module):
         else:
             raise ValueError(f"unsupported dim {dim}")
         u = x
-        attn = Conv3d(dim, k_dw, padding=p_dw, groups=dim, name="conv0")(x)
-        attn = Conv3d(dim, k_dwd, padding=p_dwd, dilation=dil, groups=dim,
-                      name="conv_spatial")(attn)
+        if (k_dw, k_dwd, dil) == (5, 7, 3):
+            attn = _dw_pair3d(x, dim)
+        else:
+            attn = Conv3d(dim, k_dw, padding=p_dw, groups=dim,
+                          name="conv0")(x)
+            attn = Conv3d(dim, k_dwd, padding=p_dwd, dilation=dil,
+                          groups=dim, name="conv_spatial")(attn)
         attn = DeformConvPack3d(name="deform_conv")(attn)
         attn = Conv3d(dim, 1, name="conv1")(attn)
         return u * attn
