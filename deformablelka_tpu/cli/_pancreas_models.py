@@ -14,11 +14,11 @@ def build_pancreas_model(name: str, trans_block: str, patch_size):
         return dlka_net_pancreas(trans_block=trans_block,
                                  img_size=tuple(patch_size))
     from deformablelka_tpu.models.pancreas_baselines import (
-        ResSegNet3D, UNETRMini, VNet)
+        Resnet34Seg, UNETR, VNet)
     if name == "vnet":
         return VNet(n_classes=2)
-    if name == "resseg3d":
-        return ResSegNet3D(n_classes=2)
-    if name == "unetr_mini":
-        return UNETRMini(n_classes=2, img_size=tuple(patch_size))
+    if name in ("resnet34", "resseg3d"):
+        return Resnet34Seg(n_classes=2)
+    if name in ("unetr", "unetr_mini"):
+        return UNETR(n_classes=2, img_size=tuple(patch_size))
     raise KeyError(f"unknown pancreas model {name!r}")

@@ -24,8 +24,8 @@ def main(argv=None):
     ap.add_argument("--trans_block",
                     default="TransformerBlock_3D_single_deform_LKA")
     ap.add_argument("--model", default="dlka_net",
-                    choices=["dlka_net", "vnet", "resseg3d",
-                             "unetr_mini"],
+                    choices=["dlka_net", "vnet", "resnet34", "resseg3d",
+                             "unetr", "unetr_mini"],
                     help="network: D-LKA Net or a pancreas "
                          "baseline (vnet.py / ResNet34.py / "
                          "unetr.py)")

@@ -1336,6 +1336,93 @@ def convert_generic_unet(sd: Dict[str, np.ndarray],
 # Pancreas VNet (3D/pancreas_code/networks/vnet.py)
 # ---------------------------------------------------------------------------
 
+def convert_resnet34(sd: Dict[str, np.ndarray],
+                     normalization: str = "none") -> Dict[str, Any]:
+    """Convert a pancreas Resnet34 state_dict (ResNet34.py:184-240 with
+    the resnet.py:222 resnet34 encoder) to models.pancreas_baselines
+    .Resnet34Seg variables. Encoder convs are layers.Conv3d ("weight",
+    (*k, I, O)); decoder blocks share the VNet ConvBlock/UpBlock family
+    (flax "kernel", deconv kernels spatially flipped)."""
+    sd = _strip_prefix(sd)
+    params: dict = {}
+    stats: dict = {}
+
+    def put_bn(tgt, leaf, arr):
+        if leaf == "weight":
+            _set(params, f"{tgt}/scale", arr)
+        elif leaf == "bias":
+            _set(params, f"{tgt}/bias", arr)
+        elif leaf == "running_mean":
+            _set(stats, f"{tgt}/mean", arr)
+        elif leaf == "running_var":
+            _set(stats, f"{tgt}/var", arr)
+
+    enc, dec = {}, {}
+    for key, v in sd.items():
+        if key.endswith("num_batches_tracked"):
+            continue
+        (enc if key.startswith("resnet_encoder.") else dec)[key] = v
+
+    for key, v in enc.items():
+        parts = key.split(".")[1:]  # drop resnet_encoder
+        arr = np.asarray(v)
+        leaf = parts[-1]
+        if parts[0] == "conv1":
+            _set(params, "resnet_encoder/conv1/weight",
+                 convert_tensor(key, arr, "conv"))
+        elif parts[0] == "bn1":
+            put_bn("resnet_encoder/bn1", leaf, arr)
+        else:  # layer{L}.{i}.<module>...
+            layer, idx, mod = parts[0], parts[1], parts[2]
+            base = f"resnet_encoder/{layer}_{idx}"
+            if mod == "downsample":
+                if parts[3] == "0":
+                    _set(params, f"{base}/downsample_conv/weight",
+                         convert_tensor(key, arr, "conv"))
+                else:
+                    put_bn(f"{base}/downsample_bn", leaf, arr)
+            elif mod.startswith("conv"):
+                _set(params, f"{base}/{mod}/weight",
+                     convert_tensor(key, arr, "conv"))
+            else:  # bn1 / bn2
+                put_bn(f"{base}/{mod}", leaf, arr)
+
+    step = 3 if normalization != "none" else 2
+    for key, v in dec.items():
+        parts = key.split(".")
+        arr = np.asarray(v)
+        leaf = parts[-1]
+        if parts[0] == "out_conv":
+            _set(params, f"out_conv/{'kernel' if leaf == 'weight' else 'bias'}",
+                 convert_tensor(key, arr,
+                                "conv" if leaf == "weight" else "none"))
+            continue
+        block, idx = parts[0], int(parts[2])
+        if block.endswith("_up"):
+            if idx == 0:
+                if leaf == "weight":
+                    w = convert_tensor(key, arr, "conv_transpose")
+                    w = w[(slice(None, None, -1),) * (w.ndim - 2)]
+                    _set(params, f"{block}/conv/kernel", w.copy())
+                else:
+                    _set(params, f"{block}/conv/bias", arr)
+            else:
+                put_bn(f"{block}/norm", leaf, arr)
+        else:
+            stage, off = divmod(idx, step)
+            if off == 0:
+                _set(params, f"{block}/conv{stage}/"
+                     + ("kernel" if leaf == "weight" else "bias"),
+                     convert_tensor(key, arr,
+                                    "conv" if leaf == "weight" else "none"))
+            else:
+                put_bn(f"{block}/norm{stage}", leaf, arr)
+    out: Dict[str, Any] = {"params": params}
+    if stats:
+        out["batch_stats"] = stats
+    return out
+
+
 def convert_vnet(sd: Dict[str, np.ndarray],
                  normalization: str = "batchnorm") -> Dict[str, Any]:
     """Convert a vnet.py VNet state_dict to models.pancreas_baselines

@@ -18,8 +18,8 @@ from deformablelka_tpu.models.generic_unet import (
 from deformablelka_tpu.models.daeformer import DAEFormer
 from deformablelka_tpu.models.pancreas_baselines import (
     VNet,
-    ResSegNet3D,
-    UNETRMini,
+    Resnet34Seg,
+    UNETR,
 )
 from deformablelka_tpu.models.swinunet import SwinUNet
 from deformablelka_tpu.models.dat_lka import DATLKAFormer

@@ -1,4 +1,4 @@
-"""Pancreas baseline networks: VNet, 3D ResNet-34 seg net, UNETR-mini.
+"""Pancreas baseline networks: VNet, ResNet34 seg net, UNETR.
 
 Reference behaviour (re-derived):
   /root/reference/3D/pancreas_code/networks/vnet.py:5-246 — VNet:
@@ -6,12 +6,24 @@ Reference behaviour (re-derived):
     [3³ conv + norm + ReLU]), strided-conv downsample, deconv upsample,
     filters 16·2^level, 1×1×1 head, optional dropout 0.5 at the
     bottleneck and before the head.
-  /root/reference/3D/pancreas_code/networks/ResNet34.py — ResNet-style
-    encoder with a light decoder (captured here as a config of the same
-    blocks).
-  /root/reference/3D/pancreas_code/networks/unetr.py — ViT encoder +
-    conv decoder; we expose a small UNETR built from this framework's
-    transformer blocks.
+  /root/reference/3D/pancreas_code/networks/ResNet34.py:184-248 —
+    Resnet34: a 3D resnet34 encoder (resnet.py:99-223; conv7³ s1 stem,
+    BasicBlock stages [3,4,6,3] each stride 2, widths 16·2^l, zero-init
+    bn2 gamma) + a VNet-style additive-skip deconv decoder built from
+    the SAME ConvBlock/UpsamplingDeconvBlock family with the
+    constructor-default normalization='none' (deconv+ReLU, conv+ReLU).
+    NOTE the reference forward ignores its n_channels arg (the encoder
+    is always resnet34() with in_channel=1) and never calls maxpool/
+    avgpool; we reproduce the live path.
+  /root/reference/3D/pancreas_code/networks/unetr.py:22-230 — UNETR
+    (the MONAI 0.7 class): ViT-768/12 encoder (16³ perceptron patch
+    embedding, taps after blocks 4/7/10), UnetrPrUpBlock deconv chains
+    for the skips, UnetrUpBlock (deconv + concat + UnetResBlock)
+    decoder, 1×1 head. monai is not installed in this image, so the
+    reference file itself cannot execute here — this re-implementation
+    follows the architecture above and the already-parity-tested
+    dynunet blocks, but has no executable golden counterpart (unlike
+    VNet/Resnet34, which are golden-tested).
 
 All channels-last (B, D, H, W, C) flax modules.
 """
@@ -20,9 +32,12 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from deformablelka_tpu.nn.dynunet import UnetOutBlock, UnetResBlock
+from deformablelka_tpu.nn.layers import Conv3d, ConvTranspose, Linear
 from deformablelka_tpu.nn.norms import InstanceNorm, GroupNorm, BatchNorm
 
 
@@ -121,88 +136,221 @@ class VNet(nn.Module):
         return nn.Conv(self.n_classes, (1, 1, 1), name="out_conv")(x9)
 
 
-class ResSegNet3D(nn.Module):
-    """ResNet34-style 3D segmentation baseline (ResNet34.py essence:
-    residual basic blocks per stage, strided downsamples, additive-skip
-    deconv decoder)."""
+class BasicBlock3d(nn.Module):
+    """3D torchvision-style BasicBlock (resnet.py:23-55): conv3³(s) →
+    bn → relu → conv3³ → bn(zero-gamma) [+ 1×1(s)+bn shortcut] → relu.
+    Torch-style explicit padding=1 (flax SAME pads (0,1) at stride 2 on
+    even extents — different output)."""
+    planes: int
+    stride: int = 1
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        def bn(name, zero_gamma=False):
+            return BatchNorm(name=name, use_running_average=not self.train,
+                             scale_init=(nn.initializers.zeros if zero_gamma
+                                         else nn.initializers.ones))
+
+        out = Conv3d(self.planes, 3, stride=self.stride, padding=1,
+                     use_bias=False, name="conv1")(x)
+        out = nn.relu(bn("bn1")(out))
+        out = Conv3d(self.planes, 3, padding=1, use_bias=False,
+                     name="conv2")(out)
+        out = bn("bn2", zero_gamma=True)(out)
+        residual = x
+        if self.stride != 1 or x.shape[-1] != self.planes:
+            residual = Conv3d(self.planes, 1, stride=self.stride, padding=0,
+                              use_bias=False, name="downsample_conv")(x)
+            residual = bn("downsample_bn")(residual)
+        return nn.relu(out + residual)
+
+
+class ResNet34Encoder3d(nn.Module):
+    """resnet34() 3D encoder (resnet.py:99-223, width=1 → base 16):
+    conv7³ s1 p3 stem + 4 BasicBlock stages [3,4,6,3], every stage's
+    first block stride 2. Returns the 5 feature maps the Resnet34
+    forward uses (resnet.py:199-211); maxpool/avgpool are dead code
+    there and are not built."""
+    width: int = 1
+    depths: Sequence[int] = (3, 4, 6, 3)
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        base = 16 * self.width
+        h = Conv3d(base, 7, stride=1, padding=3, use_bias=False,
+                   name="conv1")(x)
+        h = nn.relu(BatchNorm(name="bn1",
+                              use_running_average=not self.train)(h))
+        feats = [h]
+        for li, n_blocks in enumerate(self.depths):
+            planes = base * (2 ** (li + 1))
+            for bi in range(n_blocks):
+                h = BasicBlock3d(planes, stride=2 if bi == 0 else 1,
+                                 train=self.train,
+                                 name=f"layer{li + 1}_{bi}")(h)
+            feats.append(h)
+        return feats
+
+
+class Resnet34Seg(nn.Module):
+    """The pancreas Resnet34 baseline (ResNet34.py:184-240): resnet34
+    3D encoder + additive-skip deconv decoder with the constructor
+    default normalization='none'. Dropout (p=0.5, before out_conv) only
+    with has_dropout=True, mirroring the reference flag."""
     n_classes: int = 2
     n_filters: int = 16
-    depths: Sequence[int] = (3, 4, 6, 3)
-    normalization: str = "instancenorm"
+    normalization: str = "none"
+    has_dropout: bool = False
+    train: bool = False
+    deterministic: bool = True
 
     @nn.compact
     def __call__(self, x):
         nf, nm = self.n_filters, self.normalization
-
-        def res_stage(h, c, n, name):
-            for i in range(n):
-                r = h
-                h = ConvBlock(2, c, nm, name=f"{name}_b{i}")(h)
-                if r.shape[-1] == c:
-                    h = h + r
-            return h
-
-        h = ConvBlock(1, nf, nm, name="stem")(x)
-        skips = []
-        c = nf
-        for s, n in enumerate(self.depths):
-            h = res_stage(h, c, n, f"stage{s}")
-            skips.append(h)
-            if s < len(self.depths) - 1:
-                c *= 2
-                h = DownBlock(c, 2, nm, name=f"down{s}")(h)
-        for s in reversed(range(len(self.depths) - 1)):
-            c //= 2
-            h = UpBlock(c, 2, nm, name=f"up{s}")(h) + skips[s]
-            h = ConvBlock(1, c, nm, name=f"dec{s}")(h)
-        return nn.Conv(self.n_classes, (1, 1, 1), name="out_conv")(h)
+        x0, c2, c3, c4, c5 = ResNet34Encoder3d(
+            train=self.train, name="resnet_encoder")(x)
+        u5 = UpBlock(nf * 8, 2, nm, name="block_five_up")(c5) + c4
+        x6 = ConvBlock(3, nf * 8, nm, name="block_six")(u5)
+        u6 = UpBlock(nf * 4, 2, nm, name="block_six_up")(x6) + c3
+        x7 = ConvBlock(3, nf * 4, nm, name="block_seven")(u6)
+        u7 = UpBlock(nf * 2, 2, nm, name="block_seven_up")(x7) + c2
+        x8 = ConvBlock(2, nf * 2, nm, name="block_eight")(u7)
+        u8 = UpBlock(nf, 2, nm, name="block_eight_up")(x8) + x0
+        x9 = ConvBlock(1, nf, nm, name="block_nine")(u8)
+        if self.has_dropout:
+            x9 = nn.Dropout(0.5, deterministic=self.deterministic)(x9)
+        return nn.Conv(self.n_classes, (1, 1, 1), name="out_conv")(x9)
 
 
-class UNETRMini(nn.Module):
-    """UNETR-style baseline (unetr.py essence): patchify to tokens, N
-    transformer layers, conv decoder from reshaped token maps at
-    intermediate depths."""
+# ---------------------------------------------------------------------------
+# UNETR (unetr.py:22-230 / MONAI 0.7). No golden counterpart possible in
+# this image (monai absent) — see module docstring.
+# ---------------------------------------------------------------------------
+
+class _SABlock(nn.Module):
+    """MONAI SABlock: fused qkv Linear (no bias), per-head scaled
+    dot-product, output Linear."""
+    hidden: int
+    heads: int
+
+    @nn.compact
+    def __call__(self, x):
+        B, N, _ = x.shape
+        hd = self.hidden // self.heads
+        qkv = Linear(self.hidden * 3, use_bias=False, name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, self.heads, hd)
+        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+        a = jnp.einsum("bhnd,bhmd->bhnm", q, k) * (hd ** -0.5)
+        a = jax.nn.softmax(a.astype(jnp.float32), axis=-1).astype(x.dtype)
+        o = jnp.einsum("bhnm,bhmd->bhnd", a, v)
+        o = o.transpose(0, 2, 1, 3).reshape(B, N, self.hidden)
+        return Linear(self.hidden, name="out_proj")(o)
+
+
+class _ViTBlock(nn.Module):
+    """MONAI TransformerBlock: pre-norm MHSA + pre-norm MLP (GELU)."""
+    hidden: int
+    mlp_dim: int
+    heads: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        x = x + _SABlock(self.hidden, self.heads, name="attn")(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
+        h = Linear(self.mlp_dim, name="mlp_fc1")(h)
+        h = Linear(self.hidden, name="mlp_fc2")(nn.gelu(h))
+        return x + h
+
+
+class _PrUpBlock(nn.Module):
+    """UnetrPrUpBlock, conv_block=False (the reference's default):
+    deconv(in→out, k2 s2) then num_layer × deconv(out→out, k2 s2)."""
+    out_channels: int
+    num_layer: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = ConvTranspose(self.out_channels, 2, stride=2, use_bias=False,
+                          name="transp_conv_init")(x)
+        for i in range(self.num_layer):
+            x = ConvTranspose(self.out_channels, 2, stride=2,
+                              use_bias=False, name=f"blocks_{i}")(x)
+        return x
+
+
+class _UnetrUpBlock(nn.Module):
+    """UnetrUpBlock, res_block=True: deconv(in→out, k2 s2), concat
+    skip, UnetResBlock(2·out→out, 3³, instance)."""
+    out_channels: int
+    norm_name: str = "instance"
+
+    @nn.compact
+    def __call__(self, x, skip):
+        x = ConvTranspose(self.out_channels, 2, stride=2, use_bias=False,
+                          name="transp_conv")(x)
+        x = jnp.concatenate([x, skip], axis=-1)
+        return UnetResBlock(3, self.out_channels, 3, 1, self.norm_name,
+                            name="conv_block")(x)
+
+
+class UNETR(nn.Module):
+    """UNETR (unetr.py:22-230): ViT-hidden/12 with 16³ perceptron patch
+    embedding; skips from the raw input (UnetrBasicBlock) and from the
+    token maps after blocks 4/7/10 (hidden_states_out[3/6/9],
+    unetr.py:216-223) upsampled by deconv chains; UnetrUpBlock decoder;
+    1×1 head."""
     n_classes: int = 2
+    in_channels: int = 1
     img_size: Sequence[int] = (96, 96, 96)
+    feature_size: int = 16
+    hidden: int = 768
+    mlp_dim: int = 3072
+    heads: int = 12
+    depth: int = 12
     patch_size: int = 16
-    hidden: int = 96
-    depth: int = 8
-    heads: int = 8
+    norm_name: str = "instance"
 
     @nn.compact
     def __call__(self, x):
         B = x.shape[0]
         p = self.patch_size
-        gz, gy, gx = [s // p for s in self.img_size]
-        t = nn.Conv(self.hidden, (p, p, p), strides=(p, p, p),
-                    name="patch_embed")(x)
-        t = t.reshape(B, gz * gy * gx, self.hidden)
-        pos = self.param("pos_embed", nn.initializers.normal(0.02),
-                         (1, gz * gy * gx, self.hidden))
+        g = [s // p for s in self.img_size]
+        n_patches = g[0] * g[1] * g[2]
+
+        # perceptron patch embedding: rearrange to (p1 p2 p3 c) vectors
+        # then Linear (MONAI PatchEmbeddingBlock, pos_embed="perceptron")
+        t = x.reshape(B, g[0], p, g[1], p, g[2], p, self.in_channels)
+        t = t.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(
+            B, n_patches, p ** 3 * self.in_channels)
+        t = Linear(self.hidden, name="patch_embed")(t)
+        pos = self.param("position_embeddings",
+                         nn.initializers.truncated_normal(0.02),
+                         (1, n_patches, self.hidden))
         t = t + pos
-        taps = []
+
+        taps = {}
         for i in range(self.depth):
-            n = nn.LayerNorm(name=f"ln1_{i}")(t)
-            a = nn.MultiHeadDotProductAttention(
-                num_heads=self.heads, name=f"attn_{i}")(n, n)
-            t = t + a
-            n = nn.LayerNorm(name=f"ln2_{i}")(t)
-            m = nn.Dense(self.hidden * 4, name=f"fc1_{i}")(n)
-            m = nn.Dense(self.hidden, name=f"fc2_{i}")(nn.gelu(m))
-            t = t + m
-            if (i + 1) % (self.depth // 4) == 0:
-                taps.append(t)
-        import jax
-        import math
-        n_up = int(math.log2(p))
-        h = taps[-1].reshape(B, gz, gy, gx, self.hidden)
-        for j in range(n_up):
-            c = max(self.hidden // (2 ** (j + 1)), 8)
-            h = UpBlock(c, 2, "instancenorm", name=f"up{j}")(h)
-            if j < len(taps) - 1:
-                skip = taps[-2 - j].reshape(B, gz, gy, gx, self.hidden)
-                skip = jax.image.resize(skip, (B, *h.shape[1:4],
-                                               self.hidden), "nearest")
-                h = jnp.concatenate([h, skip], axis=-1)
-            h = ConvBlock(1, c, "instancenorm", name=f"dec{j}")(h)
-        return nn.Conv(self.n_classes, (1, 1, 1), name="out_conv")(h)
+            t = _ViTBlock(self.hidden, self.mlp_dim, self.heads,
+                          name=f"vit_block_{i}")(t)
+            if i in (3, 6, 9):
+                taps[i] = t
+        t = nn.LayerNorm(epsilon=1e-5, name="vit_norm")(t)
+
+        def proj(tok):
+            return tok.reshape(B, g[0], g[1], g[2], self.hidden)
+
+        fs = self.feature_size
+        enc1 = UnetResBlock(3, fs, 3, 1, self.norm_name,
+                            name="encoder1")(x)
+        enc2 = _PrUpBlock(fs * 2, 2, name="encoder2")(proj(taps[3]))
+        enc3 = _PrUpBlock(fs * 4, 1, name="encoder3")(proj(taps[6]))
+        enc4 = _PrUpBlock(fs * 8, 0, name="encoder4")(proj(taps[9]))
+        d4 = proj(t)
+        d3 = _UnetrUpBlock(fs * 8, self.norm_name, name="decoder5")(d4, enc4)
+        d2 = _UnetrUpBlock(fs * 4, self.norm_name, name="decoder4")(d3, enc3)
+        d1 = _UnetrUpBlock(fs * 2, self.norm_name, name="decoder3")(d2, enc2)
+        out = _UnetrUpBlock(fs, self.norm_name, name="decoder2")(d1, enc1)
+        return UnetOutBlock(3, self.n_classes, name="out")(out)

@@ -16,6 +16,8 @@ Torch-parity notes:
 
 from __future__ import annotations
 
+from typing import Callable
+
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -98,6 +100,8 @@ class BatchNorm(nn.Module):
     eps: float = 1e-5
     momentum: float = 0.1
     use_running_average: bool = True
+    # override for the resnet "zero gamma" trick (resnet.py:164-173)
+    scale_init: Callable = nn.initializers.ones
 
     @nn.compact
     def __call__(self, x, use_running_average: bool | None = None):
@@ -123,7 +127,7 @@ class BatchNorm(nn.Module):
                 unbiased = var * n / max(n - 1, 1)
                 ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
                 ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
-        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        scale = self.param("scale", self.scale_init, (C,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
         y = (xf - mean) / jnp.sqrt(var + self.eps) * scale + bias
         return y.astype(dtype)

@@ -75,22 +75,23 @@ def test_generic_unet_shapes_and_plans():
 
 @pytest.mark.slow
 def test_pancreas_baselines_shapes():
-    """VNet / ResSegNet3D / UNETRMini (pancreas baseline zoo,
+    """VNet / Resnet34Seg / UNETR (pancreas baseline zoo,
     3D/pancreas_code/networks/{vnet,ResNet34,unetr}.py)."""
     from deformablelka_tpu.models.pancreas_baselines import (
-        VNet, ResSegNet3D, UNETRMini)
+        VNet, Resnet34Seg, UNETR)
 
     x = jnp.zeros((1, 16, 16, 16, 1))
     v = VNet(n_classes=2, n_filters=4)
     out = v.apply(v.init(jax.random.PRNGKey(0), x), x)
     assert out.shape == (1, 16, 16, 16, 2)
-    r = ResSegNet3D(n_classes=3, n_filters=4, depths=(1, 1, 1, 1))
+    r = Resnet34Seg(n_classes=3)
     out = r.apply(r.init(jax.random.PRNGKey(0), x), x)
     assert out.shape == (1, 16, 16, 16, 3)
-    u = UNETRMini(n_classes=2, img_size=(16, 16, 16), patch_size=8,
-                  hidden=16, depth=4, heads=4)
-    out = u.apply(u.init(jax.random.PRNGKey(0), x), x)
-    assert out.shape == (1, 16, 16, 16, 2)
+    x32 = jnp.zeros((1, 32, 32, 32, 1))
+    u = UNETR(n_classes=2, img_size=(32, 32, 32), feature_size=2,
+              hidden=48, mlp_dim=96, heads=4)
+    out = u.apply(u.init(jax.random.PRNGKey(0), x32), x32)
+    assert out.shape == (1, 32, 32, 32, 2)
 
 
 @pytest.mark.slow

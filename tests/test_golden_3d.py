@@ -263,3 +263,56 @@ def test_golden_vnet_parity():
     assert y_j.shape == y_t.shape
     assert np.abs(y_j - y_t).max() < 2e-4 * scale, \
         f"{np.abs(y_j - y_t).max()} vs {scale}"
+
+
+def test_golden_resnet34_parity():
+    """Activation parity vs the real pancreas Resnet34
+    (3D/pancreas_code/networks/ResNet34.py:184-240: resnet34 3D encoder
+    + normalization='none' deconv decoder), eval mode. Params AND BN
+    running stats are randomised so the zero-gamma bn2 branches and the
+    running-stat normalisation are actually exercised."""
+    import importlib
+    import importlib.util
+    import torch as _t
+    import torch.nn as _tnn
+
+    # import under a unique package name: a plain "networks" import
+    # collides with the reference 2D networks package loaded by the 2D
+    # golden tests in the same pytest process
+    pkg_name = "pancreas_networks"
+    if pkg_name not in sys.modules:
+        pkg_dir = "/root/reference/3D/pancreas_code/networks"
+        spec = importlib.util.spec_from_file_location(
+            pkg_name, f"{pkg_dir}/__init__.py",
+            submodule_search_locations=[pkg_dir])
+        pkg = importlib.util.module_from_spec(spec)
+        sys.modules[pkg_name] = pkg
+        spec.loader.exec_module(pkg)
+    mod = importlib.import_module(f"{pkg_name}.ResNet34")
+    _t.manual_seed(0)
+    ref = mod.Resnet34(n_classes=2).eval()
+    with _t.no_grad():
+        g = _t.Generator().manual_seed(1)
+        for p in ref.parameters():
+            p.normal_(0.0, 0.05, generator=g)
+        for m in ref.modules():
+            if isinstance(m, _tnn.BatchNorm3d):
+                m.running_mean.normal_(0.0, 0.1, generator=g)
+                m.running_var.uniform_(0.5, 1.5, generator=g)
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    from deformablelka_tpu.convert.torch_loader import convert_resnet34
+    from deformablelka_tpu.models.pancreas_baselines import Resnet34Seg
+
+    variables = convert_resnet34(sd)
+    x = np.random.RandomState(0).randn(1, 1, 32, 32, 32).astype(np.float32)
+    with torch.no_grad():
+        y_t = ref(torch.tensor(x)).numpy()
+    model = Resnet34Seg(n_classes=2)
+    y_j = np.asarray(model.apply(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 4, 1)))).transpose(
+        0, 4, 1, 2, 3)
+    scale = max(np.abs(y_t).max(), 1.0)
+    assert y_j.shape == y_t.shape
+    assert np.abs(y_j - y_t).max() < 2e-4 * scale, \
+        f"{np.abs(y_j - y_t).max()} vs {scale}"
