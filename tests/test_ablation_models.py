@@ -15,6 +15,7 @@ def test_daeformer_shapes():
     assert m.apply(v, x).shape == (1, 224, 224, 9)
 
 
+@pytest.mark.slow
 def test_segformer_shapes():
     from deformablelka_tpu.nn.segformer import SegFormer
     m = SegFormer(num_classes=9, dims=(16, 32, 80, 128),

@@ -379,9 +379,13 @@ def test_hybrid_dispatch_exact_both_branches(monkeypatch):
 # Custom scatter-free window VJPs vs XLA autodiff of the same forward
 # ---------------------------------------------------------------------------
 
-@pytest.mark.parametrize("depthwise,radius,pad,dil,k",
-                         [(True, 1, 1, 1, 3), (True, 2, 2, 3, 5),
-                          (False, 1, 1, 1, 3), (False, 2, 2, 2, 3)])
+@pytest.mark.parametrize(
+    "depthwise,radius,pad,dil,k",
+    [(True, 1, 1, 1, 3),
+     # R=2 windows are (2R+1)^3=125-term — ~90 s each on 1 CPU → slow
+     pytest.param(True, 2, 2, 3, 5, marks=pytest.mark.slow),
+     (False, 1, 1, 1, 3),
+     pytest.param(False, 2, 2, 2, 3, marks=pytest.mark.slow)])
 def test_window3d_custom_vjp_matches_autodiff(depthwise, radius, pad,
                                               dil, k):
     """deform3d._window_core_bwd (explicit per-tap-recompute VJP — the

@@ -12,12 +12,16 @@ from deformablelka_tpu.models.dlka_former import DLKAFormer
 
 
 def test_forward_shapes_fast_variant():
-    test_forward_shapes("TransformerBlock_3D_LKA")
+    # depths=1 keeps this full-model smoke test ~4x cheaper on 1 CPU;
+    # the slow suite runs the default depths and the flagship block
+    test_forward_shapes("TransformerBlock_3D_LKA", depths=(1, 1, 1, 1))
 
 
-def _build(trans_block, img=(16, 32, 32), patch=(2, 4, 4), ncls=4):
+def _build(trans_block, img=(16, 32, 32), patch=(2, 4, 4), ncls=4,
+           depths=None):
+    kw = {} if depths is None else {"depths": tuple(depths)}
     model = DLKAFormer(out_channels=ncls, img_size=img, patch_size=patch,
-                       do_ds=True, trans_block=trans_block)
+                       do_ds=True, trans_block=trans_block, **kw)
     x = jnp.zeros((1, *img, 1), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), x)
     return model, variables, x
@@ -28,9 +32,10 @@ def _build(trans_block, img=(16, 32, 32), patch=(2, 4, 4), ncls=4):
     "TransformerBlock",
     "TransformerBlock_3D_single_deform_LKA",
 ])
-def test_forward_shapes(trans_block):
+def test_forward_shapes(trans_block, depths=None):
     img, ncls = (16, 32, 32), 4
-    model, variables, x = _build(trans_block, img=img, ncls=ncls)
+    model, variables, x = _build(trans_block, img=img, ncls=ncls,
+                                 depths=depths)
     outs = model.apply(variables, x)
     assert len(outs) == 3
     assert outs[0].shape == (1, *img, ncls)

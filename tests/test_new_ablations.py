@@ -6,6 +6,7 @@ import jax.numpy as jnp
 import pytest
 
 
+@pytest.mark.slow
 def test_mvit_lka_shapes():
     from deformablelka_tpu.models.mvit import MViTLKAFormer
     m = MViTLKAFormer(num_classes=9, img_size=224, embed_dim=16,
@@ -43,6 +44,7 @@ def test_mvit_backbone_param_count_full():
     assert 35e6 < n < 55e6
 
 
+@pytest.mark.slow
 def test_dae_lka_shapes():
     from deformablelka_tpu.models.dae_lka import DAELKAFormer
     m = DAELKAFormer(num_classes=9, dims=(32, 80, 128), layers=(1, 1, 1))
@@ -74,6 +76,7 @@ def test_upsample_align_corners_matches_torch():
     np.testing.assert_allclose(ours, theirs, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_transunet_resnet_skip_grid():
     """Skips land on the exact /2, /4, /8 grids (zero-pad fix)."""
     from deformablelka_tpu.models.transunet import ResNetV2
@@ -127,6 +130,7 @@ def test_stvit_unfold_and_amaxpool_match_torch():
     np.testing.assert_allclose(p_ours, p_torch, atol=0)
 
 
+@pytest.mark.slow
 def test_stvit_lka_shapes():
     from deformablelka_tpu.models.stvit import STVitLKA
     m = STVitLKA(num_classes=9, embed_dim=16, depths=(1, 1, 6, 1),
@@ -146,6 +150,7 @@ def test_semantic_stvit_shapes():
     assert m.apply(v, x).shape == (1, 224, 224, 4)
 
 
+@pytest.mark.slow
 def test_bidaeformer_shapes():
     from deformablelka_tpu.models.biformer import BiDAEFormer
     m = BiDAEFormer(num_classes=9, dims=(32, 64, 128), depths=(1, 2, 1))
