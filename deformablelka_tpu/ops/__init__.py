@@ -51,8 +51,15 @@ def deform_impl(name: str):
 
 
 def train_impl() -> str:
-    """Implementation for training programs (see `deform_impl`)."""
-    return _os.environ.get("DLKA_DEFORM_IMPL_TRAIN", "hybrid")
+    """Implementation for training programs (see `deform_impl`).
+
+    Default 'hybridw' = hybrid with the XLA-window fast branch — the
+    exact program measured at 1.87 s/step (PERF.md). Inference's
+    'hybrid' default now takes the pallas-v3 fast branch where
+    eligible; training stays on the window branch because the pallas
+    custom-VJP path inside value_and_grad previously crashed the
+    remote TPU compile helper (PERF.md "Fast-mode training")."""
+    return _os.environ.get("DLKA_DEFORM_IMPL_TRAIN", "hybridw")
 
 
 def _impl() -> str:
@@ -68,7 +75,12 @@ def _impl() -> str:
                 2026-08-17), so the fast branch always runs in
                 practice while the semantics stay reference-exact.
                 DEFAULT since 2026-08-17: 1.38x the A100 baseline on
-                the full bench protocol vs 0.76x for gather."""
+                the full bench protocol vs 0.76x for gather. The 3D
+                fast branch is the pallas-v3 kernel where eligible
+                (R=1, C≤32, 3³ s1; in-program 5.1 vs 7.15 ms window
+                at stage-0) and the XLA window otherwise.
+    'hybridw' — hybrid pinned to the XLA-window fast branch; the
+                training default (see `train_impl`)."""
     v = getattr(_IMPL_OVERRIDE, "v", None)
     if v is not None:
         return v
@@ -85,7 +97,7 @@ def deform_conv2d(x, offset, w, bias=None, *, stride=1, padding=0,
                   dilation=1, groups: int = 1):
     from deformablelka_tpu.ops.convs import _tuple as _t
     impl = _impl()
-    if impl == "hybrid" and tuple(_t(stride, 2)) == (1, 1):
+    if impl in ("hybrid", "hybridw") and tuple(_t(stride, 2)) == (1, 1):
         import jax as _jax
         import jax.numpy as _jnp
         R = HYBRID_RADIUS
@@ -129,18 +141,22 @@ def deform_conv3d(x, offset, w, bias=None, *, stride=1, padding=0,
                   dilation=1, groups: int = 1):
     from deformablelka_tpu.ops.convs import _tuple as _t
     impl = _impl()
-    if (impl == "hybrid" and tuple(_t(stride, 3)) == (1, 1, 1)):
+    if (impl in ("hybrid", "hybridw")
+            and tuple(_t(stride, 3)) == (1, 1, 1)):
         import jax as _jax
         import jax.numpy as _jnp
         from deformablelka_tpu.ops.pallas.deform3d_kernel import (
-            deform_conv3d_pallas, pallas_supported)
+            _kernel_version, deform_conv3d_pallas, pallas_supported)
         R = HYBRID_RADIUS
         kd, kh, kw = w.shape[:3]
-        # measured 2026-08-17 (PERF.md): at R=1 the 27-term XLA window
-        # beats the pallas kernel (10.4 vs 11.4 ms at stage-0), so the
-        # fast branch defaults to window; DLKA_HYBRID_FAST=pallas
-        # opts back in.
-        use_pallas = (_os.environ.get("DLKA_HYBRID_FAST") == "pallas"
+        # in-program A/B at stage-0 (32³ C32, R1), 2026-08-18: pallas
+        # v3 (tap-inner grid + in-kernel dot) 5.1 ms vs window 7.15 —
+        # the fast branch defaults to pallas where v3 is eligible.
+        # 'hybridw' (the training default, ops.train_impl) and
+        # DLKA_HYBRID_FAST=window pin the window branch instead.
+        fast_pref = _os.environ.get("DLKA_HYBRID_FAST", "pallas")
+        use_pallas = (impl == "hybrid" and fast_pref == "pallas"
+                      and _kernel_version(R, x.shape[-1]) == "v3"
                       and pallas_supported(
                           kd, kh, kw, stride, padding, dilation, groups,
                           x.shape[-1], w.shape[-1],

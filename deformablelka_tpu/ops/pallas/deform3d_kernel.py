@@ -326,19 +326,173 @@ def _forward_v2(x, offset, w, radius: int, interpret: bool = False):
     return jax.lax.map(one_batch, (off_all, xp4))
 
 
+def _sample_dot_kernel_v3(off_ref, xt_ref, w_ref, out_ref, *, TZ, TY,
+                          TX, C, R, m, F):
+    """v3: tap-inner grid + in-kernel MXU channel mixing.
+
+    Two structural fixes over v2, bisected+measured on-device
+    (benchmarks/probe_deform_v3*.py, PERF.md "deform kernel v3"):
+
+    1. **Grid (n_t, taps)** with the x-tile BlockSpec independent of
+       the tap index: consecutive tap steps reuse the resident VMEM
+       block instead of re-DMA-ing every tile 27× (~430 MB of HBM
+       reads per stage-0 call under the v2 grid).
+    2. **Per-tap dot accumulated in-kernel** into a single resident
+       output block: the 27× f32 sampled volume (108 MB at stage-0)
+       never exists and the separate XLA GEMM + transpose disappear.
+       The bisected constraint "no dot fed by a nested-fori carry"
+       does not bite because the zy window here is a 9-term STATIC
+       unroll with per-axis hats precomputed once per tap (a fori
+       carry into the dot also compiled, but measured slower).
+
+    Requires span=2R+1 ≤ F (single x-pack), i.e. R=1 with C ≤ 32.
+    Measured in-program at stage-0 (32³, C32, R1): 5.1 ms vs 7.15 for
+    the XLA window and 8.5 for v2 — with bit-identical (f32-exact)
+    sampling semantics.
+    """
+    span = 2 * R + 1
+    k = pl.program_id(1)
+    bz = k // 9 - 1
+    by = (k // 3) % 3 - 1
+    bx = k % 3 - 1
+
+    lane_g = jax.lax.broadcasted_iota(jnp.int32, (TZ, TY, TX, F * C),
+                                      3) // C
+    dx = jnp.clip(off_ref[2], -R, R)
+    s_of_lane = lane_g.astype(jnp.float32) - R
+    hxp = jnp.maximum(0.0, 1.0 - jnp.abs(dx[..., None] - s_of_lane))
+    hxp = jnp.where(lane_g < span, hxp, 0.0)
+    dz = jnp.clip(off_ref[0], -R, R)
+    dy = jnp.clip(off_ref[1], -R, R)
+
+    hz = [jnp.maximum(0.0, 1.0 - jnp.abs(dz - s))
+          for s in range(-R, R + 1)]
+    hy = [jnp.maximum(0.0, 1.0 - jnp.abs(dy - s))
+          for s in range(-R, R + 1)]
+    acc = jnp.zeros((TZ, TY, TX, F * C), jnp.float32)
+    for sz in range(span):
+        for sy in range(span):
+            w2 = hz[sz] * hy[sy]
+            xs = xt_ref[pl.ds(m + bz + sz - R, TZ),
+                        pl.ds(m + by + sy - R, TY),
+                        pl.ds(m + bx - R, TX), :]
+            acc = acc + w2[..., None] * xs
+
+    sample = hxp * acc
+    samp = sample[..., 0:C]
+    for g in range(1, F):
+        samp = samp + sample[..., g * C:(g + 1) * C]
+    contrib = jax.lax.dot_general(
+        samp.reshape(TZ * TY * TX, C), w_ref[0],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).reshape(TZ, TY, TX, C)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[...] = contrib
+
+    @pl.when(k > 0)
+    def _():
+        out_ref[...] = out_ref[...] + contrib
+
+
+def _forward_v3(x, offset, w, radius: int, interpret: bool = False):
+    """Tap-inner + fused-dot forward (see `_sample_dot_kernel_v3`).
+
+    x: (B, D, H, W, C); offset: (B, D, H, W, 81); w: (3,3,3,C,C)."""
+    B, D, H, W, C = x.shape
+    R = radius
+    m = R + 1
+    F = next(f for f in (4, 2, 1) if f * C <= 128)
+    span = 2 * R + 1
+    assert span <= F, "v3 requires a single x-pack (R=1, C<=32)"
+    TZ = _tile_of(D, MAX_TILE_Z) if D > MAX_TILE else _tile_of(D)
+    TY, TX = _tile_of(H), _tile_of(W)
+    n_z, n_y, n_x = D // TZ, H // TY, W // TX
+    n_t = n_z * n_y * n_x
+
+    xp = jnp.pad(x, ((0, 0), (m, m), (m, m), (m, m + F - 1), (0, 0))
+                 ).astype(jnp.float32)
+    xp4 = jnp.concatenate(
+        [jax.lax.slice_in_dim(xp, g, g + W + 2 * m, axis=3)
+         for g in range(F)], axis=-1)
+    off_all = jnp.transpose(
+        offset.reshape(B, D, H, W, 27, 3),
+        (0, 4, 5, 1, 2, 3)).astype(jnp.float32)
+    w_k3 = w.reshape(27, C, C).astype(jnp.float32)
+    kern = functools.partial(_sample_dot_kernel_v3, TZ=TZ, TY=TY,
+                             TX=TX, C=C, R=R, m=m, F=F)
+    flops = D * H * W * C * 27 * 2 * (F * (span * span + 2) + C)
+
+    def one_batch(args):
+        off, xp4b = args
+        o = off.reshape(27, 3, n_z, TZ, n_y, TY, n_x, TX)
+        o = jnp.transpose(o, (0, 2, 4, 6, 1, 3, 5, 7))
+        o = o.reshape(27 * n_t * 3, TZ, TY, TX)
+        tiles = _make_tiles(xp4b, D, H, W, TZ, TY, TX, m)
+        out = pl.pallas_call(
+            kern,
+            grid=(n_t, 27),
+            in_specs=[
+                pl.BlockSpec((3, TZ, TY, TX),
+                             lambda t, k: (k * n_t + t, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TZ + 2 * m, TY + 2 * m, TX + 2 * m,
+                              F * C),
+                             lambda t, k: (t, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, C, C), lambda t, k: (k, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((TZ, TY, TX, C),
+                                   lambda t, k: (t, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n_t * TZ, TY, TX, C),
+                                           jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=flops,
+                bytes_accessed=xp4b.size * 4 + o.size * 4,
+                transcendentals=0),
+            interpret=interpret,
+        )(o, tiles, w_k3)
+        s = out.reshape(n_z, n_y, n_x, TZ, TY, TX, C)
+        s = jnp.transpose(s, (0, 3, 1, 4, 2, 5, 6))
+        return s.reshape(D, H, W, C).astype(x.dtype)
+
+    if B == 1:
+        return one_batch((off_all[0], xp4[0]))[None]
+    return jax.lax.map(one_batch, (off_all, xp4))
+
+
+def _kernel_version(radius: int, C: int) -> str:
+    import os
+    v = os.environ.get("DLKA_PALLAS_KERNEL", "auto")
+    if v in ("v1", "v2", "v3"):
+        return v
+    F = next((f for f in (4, 2, 1) if f * C <= 128), 0)
+    return "v3" if 2 * radius + 1 <= F else "v2"
+
+
+def _dispatch(x, offset, w, radius, interpret):
+    v = _kernel_version(radius, x.shape[-1])
+    if v == "v1":
+        return _forward(x, offset, w, radius, interpret)
+    if v == "v3":
+        return _forward_v3(x, offset, w, radius, interpret)
+    return _forward_v2(x, offset, w, radius, interpret)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def deform_conv3d_pallas(x, offset, w, radius: int = 2,
                          interpret: bool = False):
     """Deformable 3³ conv (stride 1, dil 1, pad 1, groups 1) on TPU.
-    Uses the lane-packed v2 kernel unless DLKA_PALLAS_KERNEL=v1."""
-    import os
-    if os.environ.get("DLKA_PALLAS_KERNEL", "v2") == "v1":
-        return _forward(x, offset, w, radius, interpret)
-    return _forward_v2(x, offset, w, radius, interpret)
+    Kernel version per DLKA_PALLAS_KERNEL (auto: v3 when the window
+    span fits one lane pack — R=1, C≤32 — else v2)."""
+    return _dispatch(x, offset, w, radius, interpret)
 
 
 def _fwd(x, offset, w, radius, interpret):
-    return _forward(x, offset, w, radius, interpret), (x, offset, w)
+    return _dispatch(x, offset, w, radius, interpret), (x, offset, w)
 
 
 def _bwd(radius, interpret, res, g):

@@ -166,11 +166,14 @@ def test_train_step_pins_gather_impl(monkeypatch):
 
 
 def test_train_impl_default_is_hybrid(monkeypatch):
-    """Default training impl is hybrid: 1.87 s/step vs 25.2 (gather) on
-    the flagship config (PERF.md "Training step", 2026-08-17), exact
-    for any offsets via the lax.cond dispatch."""
+    """Default training impl is hybridw (hybrid with the window fast
+    branch — the exact program measured at 1.87 s/step vs 25.2 gather,
+    PERF.md "Training step"), exact for any offsets via the lax.cond
+    dispatch. Inference's plain 'hybrid' takes the pallas-v3 fast
+    branch instead, which must stay out of value_and_grad (remote
+    compile crash, PERF.md "Fast-mode training")."""
     from deformablelka_tpu.ops import train_impl
     monkeypatch.delenv("DLKA_DEFORM_IMPL_TRAIN", raising=False)
-    assert train_impl() == "hybrid"
+    assert train_impl() == "hybridw"
     monkeypatch.setenv("DLKA_DEFORM_IMPL_TRAIN", "gather")
     assert train_impl() == "gather"
