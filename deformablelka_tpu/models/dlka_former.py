@@ -226,7 +226,16 @@ def dlka_former_acdc(num_classes: int = 4, do_ds: bool = True,
                      img_size=(16, 160, 160),
                      remat: bool = False) -> DLKAFormer:
     """ACDC config (d_lka_former_trainer_acdc.py:93-94: crop [16,160,160],
-    embedding patch (1,4,4))."""
+    embedding patch (1,4,4)).
+
+    The ACDC transformerblock.py defines its own
+    TransformerBlock_3D_single_deform_LKA with dim-dependent ANISOTROPIC
+    gate kernels (acdc/transformerblock.py:211-252) — different from the
+    Synapse class of the same name — so the CLI block name maps onto the
+    `_acdc` registry variant here (golden-tested:
+    tests/test_golden_3d.py::test_golden_acdc_full_model_parity)."""
+    if trans_block == "TransformerBlock_3D_single_deform_LKA":
+        trans_block = "TransformerBlock_3D_single_deform_LKA_acdc"
     return DLKAFormer(out_channels=num_classes, img_size=tuple(img_size),
                       patch_size=(1, 4, 4), do_ds=do_ds,
                       trans_block=trans_block, deterministic=deterministic,

@@ -158,6 +158,41 @@ class LKA3dDeform(nn.Module):
         return u * attn
 
 
+class LKA3dDeformACDC(nn.Module):
+    """ACDC D-LKA gate (acdc/transformerblock.py:211-252): unlike the
+    Synapse gate, the kernels are dim-dependent and ANISOTROPIC — the
+    ACDC crop (16,160,160) is shallow in depth, so the dilated kernel
+    shrinks along it:
+      dim 32/64: dw5³ → dwd (5,7,7) dil 3 pad (6,9,9)
+      dim 128:   dw5³ → dwd (3,5,5) dil (1,3,3) pad (1,6,6)
+      dim 256:   dw3³ → dwd 3³ dil 1 pad 1
+    then DeformConvPack 3³ → 1×1, multiplicative gate. Param names
+    match the Synapse gate so the converter is shared."""
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        if dim in (32, 64):
+            k_dw, p_dw = 5, 2
+            k_dwd, dil, p_dwd = (5, 7, 7), (3, 3, 3), (6, 9, 9)
+        elif dim == 128:
+            k_dw, p_dw = 5, 2
+            k_dwd, dil, p_dwd = (3, 5, 5), (1, 3, 3), (1, 6, 6)
+        elif dim == 256:
+            k_dw, p_dw = 3, 1
+            k_dwd, dil, p_dwd = 3, 1, 1
+        else:
+            raise ValueError(f"unsupported dim {dim}")
+        u = x
+        attn = Conv3d(dim, k_dw, padding=p_dw, groups=dim,
+                      name="conv0")(x)
+        attn = Conv3d(dim, k_dwd, padding=p_dwd, dilation=dil,
+                      groups=dim, name="conv_spatial")(attn)
+        attn = DeformConvPack3d(name="deform_conv")(attn)
+        attn = Conv3d(dim, 1, name="conv1")(attn)
+        return u * attn
+
+
 class LKA3dConv(nn.Module):
     """Ablation: plain 3³ conv instead of deformable
     (transformerblock.py:746-764)."""

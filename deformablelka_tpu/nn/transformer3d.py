@@ -59,8 +59,9 @@ class _SkeletonBlock(nn.Module):
         if kind == "ea":
             return B3.EfficientAttention(num_heads=self.num_heads,
                                          name="epa_block")(tokens)
-        if kind in ("lka", "lka_deform", "lka_conv"):
+        if kind in ("lka", "lka_deform", "lka_deform_acdc", "lka_conv"):
             gate = {"lka": B3.LKA3d, "lka_deform": B3.LKA3dDeform,
+                    "lka_deform_acdc": B3.LKA3dDeformACDC,
                     "lka_conv": B3.LKA3dConv}[kind]
             out = B3.GatedAttention3d(gate=gate, name="epa_block")(
                 to_vol(tokens))
@@ -190,6 +191,10 @@ TRANSFORMER_BLOCKS = {
     "TransformerBlock_3D_LKA": _make("lka"),
     "TransformerBlock_2Dsingle": _make("lka_2dslice"),
     "TransformerBlock_3D_single_deform_LKA": _make("lka_deform"),
+    # the ACDC file's class of the same name differs: dim-dependent
+    # anisotropic kernels (acdc/transformerblock.py:211-252);
+    # models.dlka_former_acdc maps the CLI name onto this variant
+    "TransformerBlock_3D_single_deform_LKA_acdc": _make("lka_deform_acdc"),
     "TransformerBlock_3D_LKA_3D_conv": _make("lka_conv"),
     "TransformerBlock_LKA_Spatial": _make("lka_spatial"),
     "TransformerBlock_LKA_Channel": _make("lka_channel"),

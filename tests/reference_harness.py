@@ -715,3 +715,101 @@ def hiformer_s_config(tmpdir):
     cfg.qk_scale = None
     cfg.cross_pos_embed = True
     return cfg
+
+
+def build_reference_acdc(num_classes=4, seed=0, crop_size=(8, 64, 64),
+                         depths=(1, 1, 1, 1)):
+    """Random-init ACDC D_LKA_Former (acdc/d_lka_former_acdc.py:8-125)
+    with the published deform block, eval mode. The class hardcodes the
+    (16,160,160)-crop bottleneck feat_size=(2,5,5)
+    (d_lka_former_acdc.py:59); for a small golden crop we overwrite it
+    with the derived (D/8, H/32, W/32) — the only place the crop enters
+    the module (proj_feat view). The deform block family carries no
+    pos-embed (acdc/transformerblock.py:189), so input_size/out_size
+    args are dead for this config."""
+    install_all_3d()
+    torch.manual_seed(seed)
+    from d_lka_former.network_architecture.acdc.d_lka_former_acdc \
+        import D_LKA_Former as ACDCFormer
+    from d_lka_former.network_architecture.acdc.transformerblock \
+        import TransformerBlock_3D_single_deform_LKA as TB
+    model = ACDCFormer(in_channels=1, out_channels=num_classes,
+                       depths=list(depths), dims=[32, 64, 128, 256],
+                       do_ds=True, trans_block=TB)
+    model.feat_size = (crop_size[0] // 8, crop_size[1] // 32,
+                       crop_size[2] // 32)
+    # Unlike the Synapse flagship block, the ACDC variant allocates and
+    # USES a pos_embed sized to the full (16,160,160) crop's per-stage
+    # token counts (acdc/transformerblock.py:189-199, encoder stage
+    # input_size list in acdc/model_components.py:14). Re-allocate each
+    # at the golden crop's token count (and randomise, so conversion is
+    # exercised).
+    D, H, W = crop_size
+    tokens = {}
+    for i in range(4):
+        full = (16 // 2 ** i) * (40 // 2 ** i) * (40 // 2 ** i)
+        tokens[full] = (D // 2 ** i) * (H // 4 // 2 ** i) * (W // 4 // 2 ** i)
+    for mmod in model.modules():
+        pe = getattr(mmod, "pos_embed", None)
+        if isinstance(pe, torch.nn.Parameter):
+            mmod.pos_embed = torch.nn.Parameter(
+                0.02 * torch.randn(1, tokens[pe.shape[1]], pe.shape[2]))
+    return model.eval()
+
+
+@contextlib.contextmanager
+def pancreas_networks_package():
+    """Import context for /root/reference/3D/pancreas_code, whose
+    modules use absolute `networks.*` imports that collide with the 2D
+    reference's `networks` package. Temporarily swaps any loaded
+    `networks*` modules out of sys.modules, puts pancreas_code on
+    sys.path, and restores everything afterwards (the imported classes
+    keep working through their own module globals)."""
+    saved = {k: sys.modules.pop(k) for k in list(sys.modules)
+             if k == "networks" or k.startswith("networks.")}
+    root = os.path.join(REF3D, "pancreas_code")
+    sys.path.insert(0, root)
+    try:
+        yield
+    finally:
+        sys.path.remove(root)
+        for k in list(sys.modules):
+            if k == "networks" or k.startswith("networks."):
+                del sys.modules[k]
+        sys.modules.update(saved)
+
+
+def build_reference_pancreas_net(num_classes=2, seed=0,
+                                 crop_size=(32, 32, 32),
+                                 depths=(1, 1, 1, 1)):
+    """Random-init pancreas D_LKA_Net (pancreas_code/networks/
+    d_lka_former/d_lka_net_synapse.py:9-167) with the published deform
+    block and the train_pancreas.py:109-117 config axes (patch (2,2,2),
+    img_size parameterised -> feat_size derived, so a small golden crop
+    needs no surgery). unetr_pp-prefixed keys exercise the converter's
+    rename path (3D/rename_layers.py:12-23)."""
+    install_all_3d()
+    torch.manual_seed(seed)
+    # D_LKA_Net does NOT derive per-stage token counts from img_size
+    # (d_lka_net_synapse.py:28 default input_size list is the 64x128x128
+    # patch's) — pass the counts for the golden crop, as
+    # train_pancreas.py:109-117 does for 96^3.
+    D, H, W = crop_size
+    input_size = [(D // 2 // 2 ** i) * (H // 2 // 2 ** i)
+                  * (W // 2 // 2 ** i) for i in range(4)]
+    with pancreas_networks_package():
+        from networks.d_lka_former.d_lka_net_synapse import D_LKA_Net
+        from networks.d_lka_former.transformerblock \
+            import TransformerBlock_3D_single_deform_LKA as TB
+        model = D_LKA_Net(in_channels=1, out_channels=num_classes,
+                          img_size=list(crop_size),
+                          patch_size=(2, 2, 2), input_size=input_size,
+                          depths=list(depths), dims=[32, 64, 128, 256],
+                          do_ds=True, trans_block=TB)
+    # randomise the zero-init pos_embeds so conversion is exercised
+    for mmod in model.modules():
+        pe = getattr(mmod, "pos_embed", None)
+        if isinstance(pe, torch.nn.Parameter):
+            with torch.no_grad():
+                pe.normal_(0, 0.02)
+    return model.eval()

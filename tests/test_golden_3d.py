@@ -316,3 +316,64 @@ def test_golden_resnet34_parity():
     assert y_j.shape == y_t.shape
     assert np.abs(y_j - y_t).max() < 2e-4 * scale, \
         f"{np.abs(y_j - y_t).max()} vs {scale}"
+
+
+@pytest.mark.slow
+def test_golden_acdc_full_model_parity():
+    """Full-model activation parity for the ACDC D_LKA_Former variant
+    (acdc/d_lka_former_acdc.py:8-125: stem patch (1,4,4), decoder2
+    upsample (1,4,4)) vs our DLKAFormer with patch_size=(1,4,4)."""
+    depths = (1, 1, 1, 1)
+    crop = (8, 64, 64)
+    ref = rh.build_reference_acdc(num_classes=4, seed=0, crop_size=crop,
+                                  depths=depths)
+    sd = rh.state_dict_numpy(ref)
+    variables = convert_dlka_former(sd, depths=depths)
+
+    x = np.random.RandomState(0).randn(1, 1, *crop).astype(np.float32)
+    with torch.no_grad():
+        ys_t = [y.numpy() for y in ref(torch.tensor(x))]
+
+    model = DLKAFormer(
+        out_channels=4, img_size=crop, patch_size=(1, 4, 4),
+        depths=depths, do_ds=True,
+        trans_block="TransformerBlock_3D_single_deform_LKA_acdc")
+    ys_j = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 4, 1)))
+    assert len(ys_j) == len(ys_t) == 3
+    for i, (yj, yt) in enumerate(zip(ys_j, ys_t)):
+        a = np.asarray(yj).transpose(0, 4, 1, 2, 3)
+        scale = max(np.abs(yt).max(), 1.0)
+        assert a.shape == yt.shape
+        assert np.abs(a - yt).max() < 2e-4 * scale, \
+            f"head {i}: {np.abs(a - yt).max()} vs {scale}"
+
+
+@pytest.mark.slow
+def test_golden_pancreas_dlka_net_parity():
+    """Full-model activation parity for the pancreas D_LKA_Net
+    (pancreas_code/networks/d_lka_former/d_lka_net_synapse.py:9-167,
+    patch (2,2,2) per train_pancreas.py:109-117). Its unetr_pp-prefixed
+    keys exercise the converter rename path (rename_layers.py:12-23)."""
+    depths = (1, 1, 1, 1)
+    crop = (32, 32, 32)
+    ref = rh.build_reference_pancreas_net(num_classes=2, seed=0,
+                                          crop_size=crop, depths=depths)
+    sd = rh.state_dict_numpy(ref)
+    variables = convert_dlka_former(sd, depths=depths)
+
+    x = np.random.RandomState(0).randn(1, 1, *crop).astype(np.float32)
+    with torch.no_grad():
+        ys_t = ref(torch.tensor(x))
+        ys_t = [y.numpy() for y in (ys_t if isinstance(ys_t, (list, tuple))
+                                    else [ys_t])]
+
+    model = DLKAFormer(out_channels=2, img_size=crop,
+                       patch_size=(2, 2, 2), depths=depths, do_ds=True)
+    ys_j = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 4, 1)))
+    assert len(ys_j) == len(ys_t) == 3
+    for i, (yj, yt) in enumerate(zip(ys_j, ys_t)):
+        a = np.asarray(yj).transpose(0, 4, 1, 2, 3)
+        scale = max(np.abs(yt).max(), 1.0)
+        assert a.shape == yt.shape
+        assert np.abs(a - yt).max() < 2e-4 * scale, \
+            f"head {i}: {np.abs(a - yt).max()} vs {scale}"
