@@ -1,5 +1,8 @@
-import time, os
+import time, os, sys
+sys.path.insert(0, "/root/repo")
 import numpy as np, jax, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 impl = os.environ.get("DLKA_DEFORM_IMPL", "window")
 from deformablelka_tpu.models.dlka_former import dlka_former_synapse

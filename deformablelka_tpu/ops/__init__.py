@@ -156,7 +156,8 @@ def deform_conv3d(x, offset, w, bias=None, *, stride=1, padding=0,
         # DLKA_HYBRID_FAST=window pin the window branch instead.
         fast_pref = _os.environ.get("DLKA_HYBRID_FAST", "pallas")
         use_pallas = (impl == "hybrid" and fast_pref == "pallas"
-                      and _kernel_version(R, x.shape[-1]) == "v3"
+                      and _kernel_version(R, x.shape[-1]) in
+                      ("v3", "v4", "v4w")
                       and pallas_supported(
                           kd, kh, kw, stride, padding, dilation, groups,
                           x.shape[-1], w.shape[-1],

@@ -396,7 +396,138 @@ def _sample_dot_kernel_v3(off_ref, xt_ref, w_ref, out_ref, *, TZ, TY,
         out_ref[...] = out_ref[...] + contrib
 
 
-def _forward_v3(x, offset, w, radius: int, interpret: bool = False):
+def _sample_dot_kernel_v4(off_ref, xt_ref, w_ref, out_ref, *, TZ, TY,
+                          TX, C, R, m, F):
+    """v4 = v3 with factored FULL-WIDTH hats (2 broadcasts per tap).
+
+    The v3 kernel's cost was dissected on-device
+    (benchmarks/probe_deform_dissect.py): with constant window weights
+    the kernel runs 1.07 ms at stage-0, with the real hats 5.2 ms —
+    the 9 per-window-term sublane→lane broadcasts of the C-free hat
+    products (`w2[..., None] * xs`) own ~80 % of the runtime, not the
+    FMAs or the MXU dot. v4 broadcasts dz/dy to lane width ONCE each
+    and evaluates the hat functions full-width, so the 9-term window
+    becomes pure full-width FMAs: measured 2.3 ms vs 5.2 at stage-0
+    (benchmarks/probe_deform_v5.py mode `v5a`, exact parity). The
+    nested-difference form (4 broadcasts, fewer FMAs) measured 3.0 ms
+    — more FMA-class ops beat more broadcasts on this VPU.
+    """
+    span = 2 * R + 1
+    k = pl.program_id(1)
+    bz = k // 9 - 1
+    by = (k // 3) % 3 - 1
+    bx = k % 3 - 1
+
+    lane_g = jax.lax.broadcasted_iota(jnp.int32, (TZ, TY, TX, F * C),
+                                      3) // C
+    dx = jnp.clip(off_ref[2], -R, R)
+    s_of_lane = lane_g.astype(jnp.float32) - R
+    hxp = jnp.maximum(0.0, 1.0 - jnp.abs(dx[..., None] - s_of_lane))
+    hxp = jnp.where(lane_g < span, hxp, 0.0)
+    wide = (TZ, TY, TX, F * C)
+    dzf = jnp.broadcast_to(
+        jnp.clip(off_ref[0], -R, R)[..., None], wide)
+    dyf = jnp.broadcast_to(
+        jnp.clip(off_ref[1], -R, R)[..., None], wide)
+    hz = [jnp.maximum(0.0, 1.0 - jnp.abs(dzf - s))
+          for s in range(-R, R + 1)]
+    hy = [jnp.maximum(0.0, 1.0 - jnp.abs(dyf - s))
+          for s in range(-R, R + 1)]
+
+    acc = jnp.zeros(wide, jnp.float32)
+    for sz in range(span):
+        t = jnp.zeros(wide, jnp.float32)
+        for sy in range(span):
+            xs = xt_ref[pl.ds(m + bz + sz - R, TZ),
+                        pl.ds(m + by + sy - R, TY),
+                        pl.ds(m + bx - R, TX), :]
+            t = t + hy[sy] * xs
+        acc = acc + hz[sz] * t
+
+    sample = hxp * acc
+    samp = sample[..., 0:C]
+    for g in range(1, F):
+        samp = samp + sample[..., g * C:(g + 1) * C]
+    contrib = jax.lax.dot_general(
+        samp.reshape(TZ * TY * TX, C), w_ref[0],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).reshape(TZ, TY, TX, C)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[...] = contrib
+
+    @pl.when(k > 0)
+    def _():
+        out_ref[...] = out_ref[...] + contrib
+
+
+def _sample_dot_kernel_v4w(off_ref, xt_ref, w_ref, out_ref, *, TZ, TY,
+                           TX, C, R, m, F):
+    """v4w: the v4 structure (tap-inner grid, factored full-width
+    hats, in-kernel MXU dot) generalised past span ≤ F by iterating
+    n_packs = ceil(span/F) x-packs — C=64 runs 2 packs of 2 lanes-
+    groups, C=128 runs 3 packs of 1. Each pack reuses the SAME
+    full-width hz/hy hats; only the packed x-hat and the x base of
+    the slab reads differ. Extends the pallas fast branch to stages
+    1-2 (16³ C64, 8³ C128) which previously fell back to the XLA
+    window path (VERDICT r2 item 1a)."""
+    span = 2 * R + 1
+    n_packs = (span + F - 1) // F
+    k = pl.program_id(1)
+    bz = k // 9 - 1
+    by = (k // 3) % 3 - 1
+    bx = k % 3 - 1
+
+    lane_g = jax.lax.broadcasted_iota(jnp.int32, (TZ, TY, TX, F * C),
+                                      3) // C
+    dx = jnp.clip(off_ref[2], -R, R)
+    wide = (TZ, TY, TX, F * C)
+    dzf = jnp.broadcast_to(
+        jnp.clip(off_ref[0], -R, R)[..., None], wide)
+    dyf = jnp.broadcast_to(
+        jnp.clip(off_ref[1], -R, R)[..., None], wide)
+    hz = [jnp.maximum(0.0, 1.0 - jnp.abs(dzf - s))
+          for s in range(-R, R + 1)]
+    hy = [jnp.maximum(0.0, 1.0 - jnp.abs(dyf - s))
+          for s in range(-R, R + 1)]
+
+    sample = None
+    for p in range(n_packs):
+        s_of_lane = (lane_g + p * F).astype(jnp.float32) - R
+        hxp = jnp.maximum(0.0, 1.0 - jnp.abs(dx[..., None] - s_of_lane))
+        hxp = jnp.where(lane_g + p * F < span, hxp, 0.0)
+        acc = jnp.zeros(wide, jnp.float32)
+        for sz in range(span):
+            t = jnp.zeros(wide, jnp.float32)
+            for sy in range(span):
+                xs = xt_ref[pl.ds(m + bz + sz - R, TZ),
+                            pl.ds(m + by + sy - R, TY),
+                            pl.ds(m + bx + p * F - R, TX), :]
+                t = t + hy[sy] * xs
+            acc = acc + hz[sz] * t
+        contrib = hxp * acc
+        sample = contrib if sample is None else sample + contrib
+
+    samp = sample[..., 0:C]
+    for g in range(1, F):
+        samp = samp + sample[..., g * C:(g + 1) * C]
+    contrib = jax.lax.dot_general(
+        samp.reshape(TZ * TY * TX, C), w_ref[0],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).reshape(TZ, TY, TX, C)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[...] = contrib
+
+    @pl.when(k > 0)
+    def _():
+        out_ref[...] = out_ref[...] + contrib
+
+
+def _forward_v3(x, offset, w, radius: int, interpret: bool = False,
+                kern_fn=_sample_dot_kernel_v3):
     """Tap-inner + fused-dot forward (see `_sample_dot_kernel_v3`).
 
     x: (B, D, H, W, C); offset: (B, D, H, W, 81); w: (3,3,3,C,C)."""
@@ -405,7 +536,8 @@ def _forward_v3(x, offset, w, radius: int, interpret: bool = False):
     m = R + 1
     F = next(f for f in (4, 2, 1) if f * C <= 128)
     span = 2 * R + 1
-    assert span <= F, "v3 requires a single x-pack (R=1, C<=32)"
+    assert span <= F or kern_fn is _sample_dot_kernel_v4w, \
+        "v3/v4 require a single x-pack (R=1, C<=32); use v4w beyond"
     TZ = _tile_of(D, MAX_TILE_Z) if D > MAX_TILE else _tile_of(D)
     TY, TX = _tile_of(H), _tile_of(W)
     n_z, n_y, n_x = D // TZ, H // TY, W // TX
@@ -420,7 +552,7 @@ def _forward_v3(x, offset, w, radius: int, interpret: bool = False):
         offset.reshape(B, D, H, W, 27, 3),
         (0, 4, 5, 1, 2, 3)).astype(jnp.float32)
     w_k3 = w.reshape(27, C, C).astype(jnp.float32)
-    kern = functools.partial(_sample_dot_kernel_v3, TZ=TZ, TY=TY,
+    kern = functools.partial(kern_fn, TZ=TZ, TY=TY,
                              TX=TX, C=C, R=R, m=m, F=F)
     flops = D * H * W * C * 27 * 2 * (F * (span * span + 2) + C)
 
@@ -464,19 +596,35 @@ def _forward_v3(x, offset, w, radius: int, interpret: bool = False):
     return jax.lax.map(one_batch, (off_all, xp4))
 
 
+def _forward_v4(x, offset, w, radius: int, interpret: bool = False):
+    return _forward_v3(x, offset, w, radius, interpret,
+                       kern_fn=_sample_dot_kernel_v4)
+
+
+def _forward_v4w(x, offset, w, radius: int, interpret: bool = False):
+    return _forward_v3(x, offset, w, radius, interpret,
+                       kern_fn=_sample_dot_kernel_v4w)
+
+
 def _kernel_version(radius: int, C: int) -> str:
     import os
     v = os.environ.get("DLKA_PALLAS_KERNEL", "auto")
-    if v in ("v1", "v2", "v3"):
+    if v in ("v1", "v2", "v3", "v4", "v4w"):
         return v
     F = next((f for f in (4, 2, 1) if f * C <= 128), 0)
-    return "v3" if 2 * radius + 1 <= F else "v2"
+    if 2 * radius + 1 <= F:
+        return "v4"
+    return "v4w" if radius == 1 and C <= MAX_CHANNELS else "v2"
 
 
 def _dispatch(x, offset, w, radius, interpret):
     v = _kernel_version(radius, x.shape[-1])
     if v == "v1":
         return _forward(x, offset, w, radius, interpret)
+    if v == "v4w":
+        return _forward_v4w(x, offset, w, radius, interpret)
+    if v == "v4":
+        return _forward_v4(x, offset, w, radius, interpret)
     if v == "v3":
         return _forward_v3(x, offset, w, radius, interpret)
     return _forward_v2(x, offset, w, radius, interpret)

@@ -237,17 +237,20 @@ def test_pallas_deform_interpret_parity_and_grad():
 
 
 def test_pallas_deform_v3_interpret_parity():
-    """The v3 kernel (tap-inner grid + in-kernel dot — the hybrid fast
-    branch at R=1, C<=32) vs the gather reference in interpret mode.
-    Sub-voxel offsets, so the R=1 clip is lossless and parity is exact
-    sampling semantics, not approximation."""
+    """The v3/v4 kernels (tap-inner grid + in-kernel dot — the hybrid
+    fast branch at R=1, C<=32; v4 factors the hat weights full-width)
+    vs the gather reference in interpret mode. Sub-voxel offsets, so
+    the R=1 clip is lossless and parity is exact sampling semantics,
+    not approximation."""
     from deformablelka_tpu.ops.pallas.deform3d_kernel import (
-        _forward_v3, _kernel_version)
+        _forward_v3, _forward_v4, _kernel_version)
     from deformablelka_tpu.ops import deform_conv3d_gather
 
-    assert _kernel_version(1, 32) == "v3"
+    assert _kernel_version(1, 32) == "v4"
     assert _kernel_version(2, 32) == "v2"
-    assert _kernel_version(1, 64) == "v2"
+    assert _kernel_version(1, 64) == "v4w"
+    assert _kernel_version(1, 128) == "v4w"
+    assert _kernel_version(1, 256) == "v2"
 
     rng = np.random.RandomState(0)
     for (B, D, H, W, C) in ((1, 4, 6, 8, 4), (2, 8, 16, 8, 8)):
@@ -257,8 +260,28 @@ def test_pallas_deform_v3_interpret_parity():
         w = jnp.asarray(rng.randn(3, 3, 3, C, C) * 0.1, jnp.float32)
         ref = deform_conv3d_gather(x, off, w, None, stride=1, padding=1,
                                    dilation=1, groups=1)
-        out = _forward_v3(x, off, w, 1, True)
-        np.testing.assert_allclose(out, ref, atol=5e-5, rtol=5e-5)
+        for fwd in (_forward_v3, _forward_v4):
+            out = fwd(x, off, w, 1, True)
+            np.testing.assert_allclose(out, ref, atol=5e-5, rtol=5e-5)
+
+
+def test_pallas_deform_v4w_interpret_parity():
+    """The v4w kernel (multi-pack x-window for C>32 — the hybrid fast
+    branch at stages 1-2: 16^3 C64 / 8^3 C128) vs the gather reference
+    in interpret mode, at C values forcing n_packs=2 and 3."""
+    from deformablelka_tpu.ops.pallas.deform3d_kernel import _forward_v4w
+    from deformablelka_tpu.ops import deform_conv3d_gather
+
+    rng = np.random.RandomState(1)
+    for (B, D, H, W, C) in ((1, 4, 8, 8, 64), (1, 4, 4, 8, 128)):
+        x = jnp.asarray(rng.randn(B, D, H, W, C), jnp.float32)
+        off = jnp.asarray(rng.uniform(-0.9, 0.9, (B, D, H, W, 81)),
+                          jnp.float32)
+        w = jnp.asarray(rng.randn(3, 3, 3, C, C) * 0.05, jnp.float32)
+        ref = deform_conv3d_gather(x, off, w, None, stride=1, padding=1,
+                                   dilation=1, groups=1)
+        out = _forward_v4w(x, off, w, 1, True)
+        np.testing.assert_allclose(out, ref, atol=5e-4, rtol=5e-4)
 
 
 def test_slab_vs_taa_gather_parity(monkeypatch):
