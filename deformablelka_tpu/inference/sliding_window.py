@@ -103,6 +103,28 @@ def pad_to_min(x: np.ndarray, patch_size) -> Tuple[np.ndarray, list]:
     return xp, slicer
 
 
+def bucket_shape(padded_shape, patch_size, axis_steps):
+    """Round each padded axis UP to the next sliding-step multiple
+    beyond the patch: buckets are patch + k·axis_step.
+
+    Compile-bucketing for multi-case inference (the reference's eager
+    predict_3D handles every case shape with zero recompilation,
+    neural_network.py:292-409; a jit engine would otherwise compile
+    one program per distinct shape). Exactness is preserved because
+    the tile ORIGINS are still computed on the min-padded shape and
+    passed as data — the extra padding is never read, only carried in
+    the accumulators and cropped off. Within one bucket the tile
+    count is constant for both grid modes: ceil((s−p)/t) is constant
+    for s ∈ (B−t, B], so the (shape, n_tiles) compile key collapses
+    to the bucket."""
+    out = []
+    for s, p, t in zip(padded_shape, patch_size, axis_steps):
+        t = max(1, int(t))
+        k = -((s - p) // -t)  # ceil, 0 when s == p
+        out.append(p + k * t)
+    return tuple(out)
+
+
 def _flip_flags(tile, flags, spatial_axes):
     """Conditionally flip each spatial axis; flags: (ndim,) bool DATA (so
     the flip pattern is a scan carry, not a retrace)."""
@@ -175,7 +197,9 @@ class SlidingWindowInference:
 
     `apply_fn(params, x)` maps (1, *patch, C) → logits (1, *patch, ncls)
     (or a deep-supervision list, first entry used).
-    Compilation is cached per (padded_shape, n_tiles) bucket.
+    Compilation is cached per (bucketed padded shape, n_tiles) — see
+    `bucket_shape`; a multi-case eval over varied shapes compiles O(1)
+    programs, matching the reference's shape-agnostic predict_3D.
     """
 
     def __init__(self, apply_fn: Callable, patch_size, num_classes: int,
@@ -184,7 +208,8 @@ class SlidingWindowInference:
                  tile_batch: int = 1, tta_batch: int = 1,
                  grid_mode: str = "nnunet",
                  stride_xy: int = 16, stride_z: int = 16, mesh=None,
-                 mesh_axis: str = "data", loop_mode: str | None = None):
+                 mesh_axis: str = "data", loop_mode: str | None = None,
+                 shape_buckets: bool | None = None):
         self.apply_fn = apply_fn
         self.patch_size = tuple(patch_size)
         self.num_classes = num_classes
@@ -224,11 +249,20 @@ class SlidingWindowInference:
         assert self.loop_mode in ("host", "scan")
         if mesh is not None:
             self.loop_mode = "scan"
+        # pad-to-bucket compilation (see `bucket_shape`): on by default
+        # for the scan modes; DLKA_SW_BUCKET=0 or shape_buckets=False
+        # reverts to exact-shape compile keys.
+        if shape_buckets is None:
+            import os
+            shape_buckets = os.environ.get("DLKA_SW_BUCKET", "1") != "0"
+        self.shape_buckets = shape_buckets
         self._jitted = {}
         self._tile_fn = None
         self._acc_fn = None
+        self.n_builds = 0  # compile counter (tests assert bucketing)
 
     def _build(self, padded_shape, n_tiles):
+        self.n_builds += 1
         patch = self.patch_size
         ncls = self.num_classes
 
@@ -265,7 +299,10 @@ class SlidingWindowInference:
         if self.mesh is None:
             def run(params, data, origins, weights, gauss):
                 num, den = accumulate(params, data, origins, weights, gauss)
-                return num / den[..., None]
+                # bucket padding beyond the tiled region has den == 0;
+                # the guard keeps it 0/eps = 0 (cropped off anyway)
+                # instead of NaN.
+                return num / jnp.maximum(den, 1e-12)[..., None]
 
             return jax.jit(run)
 
@@ -283,7 +320,7 @@ class SlidingWindowInference:
                                       gauss)
                 num = lax.psum(num, axis)
                 den = lax.psum(den, axis)
-                return num / den[..., None]
+                return num / jnp.maximum(den, 1e-12)[..., None]
 
             specs = dict(mesh=mesh,
                          in_specs=(P(), P(), P(axis), P(axis), P()),
@@ -337,9 +374,26 @@ class SlidingWindowInference:
         if self.loop_mode == "host" and self.mesh is None:
             probs = self._predict_host_loop(params, data, origins, gauss)
         else:
-            key = (padded_shape, len(origins))
+            run_shape = padded_shape
+            if self.shape_buckets:
+                if self.grid_mode == "stride":
+                    axis_steps = (self.stride_xy, self.stride_xy,
+                                  self.stride_z)
+                else:
+                    axis_steps = [max(1, int(round(p * self.step_size)))
+                                  for p in self.patch_size]
+                run_shape = bucket_shape(padded_shape, self.patch_size,
+                                         axis_steps)
+                extra = [(0, b - s) for b, s in
+                         zip(run_shape, padded_shape)]
+                if any(h for _, h in extra):
+                    # high-side only: origins and the crop slicer are
+                    # unchanged, the extra region is never read.
+                    data = np.pad(data, extra + [(0, 0)],
+                                  mode="constant")
+            key = (run_shape, len(origins))
             if key not in self._jitted:
-                self._jitted[key] = self._build(padded_shape, len(origins))
+                self._jitted[key] = self._build(run_shape, len(origins))
             probs = self._jitted[key](params, jnp.asarray(data),
                                       jnp.asarray(origins),
                                       jnp.asarray(weights),

@@ -218,3 +218,39 @@ def test_predict_segmentation_device_argmax():
     assert seg.shape == vol.shape[:3]
     assert seg.dtype == np.uint8
     np.testing.assert_array_equal(seg, ref)
+
+
+def test_shape_buckets_compile_once_and_exact():
+    """Pad-to-bucket compilation (VERDICT r2 item 2): ≥6 distinct case
+    shapes through ONE engine must compile ≤2 scan programs, and every
+    result must equal the unbucketed engine's bit-for-bit (origins are
+    computed on the min-padded shape; the bucket padding is never
+    read)."""
+
+    def apply_fn(params, x):
+        # spatially varying so bucketing errors would show
+        g = jnp.linspace(-1.0, 1.0, x.shape[2])[None, None, :, None, None]
+        base = x[..., :1] * 0.3 + g
+        return jnp.concatenate([base, -base], axis=-1)
+
+    patch = (8, 8, 8)
+    shapes = [(11, 14, 9), (12, 13, 10), (9, 15, 11), (10, 16, 12),
+              (12, 16, 12), (11, 13, 9)]
+    sw = SlidingWindowInference(apply_fn, patch_size=patch,
+                                num_classes=2, do_mirroring=False,
+                                loop_mode="scan")
+    ref = SlidingWindowInference(apply_fn, patch_size=patch,
+                                 num_classes=2, do_mirroring=False,
+                                 loop_mode="scan", shape_buckets=False)
+    rs = np.random.RandomState(0)
+    for shp in shapes:
+        vol = rs.randn(*shp, 1).astype(np.float32)
+        got = sw.predict({}, vol)
+        want = ref.predict({}, vol)
+        assert got.shape == (*shp, 2)
+        np.testing.assert_array_equal(got, want)
+    # shapes span (9..12, 13..16, 9..12) → buckets (12,16,12) only
+    # (every axis lands in the same p+k*4 bucket) → exactly 1 build;
+    # the unbucketed engine compiled one per distinct padded shape.
+    assert sw.n_builds <= 2, sw.n_builds
+    assert ref.n_builds == len(set(shapes))
