@@ -1585,3 +1585,74 @@ def convert_segformer(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
                     key, arr, "conv" if leaf == "weight" else "none"))
             # conv_seg: dead
     return {"params": params, "batch_stats": stats}
+
+
+def convert_unetr(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """UNETR (pancreas unetr.py:22-229 / MONAI 0.7) state dict →
+    models.pancreas_baselines.UNETR variables. Instance norms are
+    affine=False (no params); only convs/linears/layernorms map."""
+    sd = _strip_prefix(sd)
+    params: dict = {}
+
+    def put(path, key, kind):
+        if key not in sd:
+            return False
+        _set(params, path, convert_tensor(key, sd[key], kind))
+        return True
+
+    def put_ln(path, tkey):
+        _set(params, f"{path}/scale", sd[f"{tkey}.weight"])
+        _set(params, f"{path}/bias", sd[f"{tkey}.bias"])
+
+    def conv_block(jpath, tkey):
+        put(f"{jpath}/weight", f"{tkey}.conv.weight", "conv")
+        put(f"{jpath}/bias", f"{tkey}.conv.bias", "none")
+
+    def unet_res_block(jpath, tkey):
+        conv_block(f"{jpath}/conv1", f"{tkey}.conv1")
+        conv_block(f"{jpath}/conv2", f"{tkey}.conv2")
+        if f"{tkey}.conv3.conv.weight" in sd:
+            conv_block(f"{jpath}/conv3", f"{tkey}.conv3")
+
+    # ViT
+    put("patch_embed/weight", "vit.patch_embedding.patch_embeddings.1.weight",
+        "linear")
+    put("patch_embed/bias", "vit.patch_embedding.patch_embeddings.1.bias",
+        "none")
+    _set(params, "position_embeddings",
+         sd["vit.patch_embedding.position_embeddings"])
+    i = 0
+    while f"vit.blocks.{i}.norm1.weight" in sd:
+        j = f"vit_block_{i}"
+        t = f"vit.blocks.{i}"
+        put_ln(f"{j}/norm1", f"{t}.norm1")
+        put(f"{j}/attn/qkv/weight", f"{t}.attn.qkv.weight", "linear")
+        put(f"{j}/attn/out_proj/weight", f"{t}.attn.out_proj.weight",
+            "linear")
+        put(f"{j}/attn/out_proj/bias", f"{t}.attn.out_proj.bias", "none")
+        put_ln(f"{j}/norm2", f"{t}.norm2")
+        put(f"{j}/mlp_fc1/weight", f"{t}.mlp.linear1.weight", "linear")
+        put(f"{j}/mlp_fc1/bias", f"{t}.mlp.linear1.bias", "none")
+        put(f"{j}/mlp_fc2/weight", f"{t}.mlp.linear2.weight", "linear")
+        put(f"{j}/mlp_fc2/bias", f"{t}.mlp.linear2.bias", "none")
+        i += 1
+    put_ln("vit_norm", "vit.norm")
+
+    # CNN encoders (UnetrBasicBlock wraps UnetResBlock under .layer)
+    unet_res_block("encoder1", "encoder1.layer")
+    for enc, nlayer in (("encoder2", 2), ("encoder3", 1),
+                        ("encoder4", 0)):
+        put(f"{enc}/transp_conv_init/weight",
+            f"{enc}.transp_conv_init.conv.weight", "conv_transpose")
+        for k in range(nlayer):
+            put(f"{enc}/blocks_{k}/weight",
+                f"{enc}.blocks.{k}.conv.weight", "conv_transpose")
+
+    # decoders
+    for dec in ("decoder5", "decoder4", "decoder3", "decoder2"):
+        put(f"{dec}/transp_conv/weight", f"{dec}.transp_conv.conv.weight",
+            "conv_transpose")
+        unet_res_block(f"{dec}/conv_block", f"{dec}.conv_block")
+
+    conv_block("out/conv", "out.conv")
+    return {"params": params}

@@ -20,10 +20,10 @@ Reference behaviour (re-derived):
     embedding, taps after blocks 4/7/10), UnetrPrUpBlock deconv chains
     for the skips, UnetrUpBlock (deconv + concat + UnetResBlock)
     decoder, 1×1 head. monai is not installed in this image, so the
-    reference file itself cannot execute here — this re-implementation
-    follows the architecture above and the already-parity-tested
-    dynunet blocks, but has no executable golden counterpart (unlike
-    VNet/Resnet34, which are golden-tested).
+    harness executes the reference file under a MONAI-0.7 shim (the
+    vendored dynunet_block + a name-faithful ViT re-typing) — golden
+    parity in test_golden_3d.py::test_golden_unetr_parity, like
+    VNet/Resnet34.
 
 All channels-last (B, D, H, W, C) flax modules.
 """
@@ -225,8 +225,9 @@ class Resnet34Seg(nn.Module):
 
 
 # ---------------------------------------------------------------------------
-# UNETR (unetr.py:22-230 / MONAI 0.7). No golden counterpart possible in
-# this image (monai absent) — see module docstring.
+# UNETR (unetr.py:22-230 / MONAI 0.7). Golden-tested vs the reference's
+# own unetr.py executed under the MONAI-0.7 shim
+# (tests/test_golden_3d.py::test_golden_unetr_parity).
 # ---------------------------------------------------------------------------
 
 class _SABlock(nn.Module):

@@ -319,6 +319,218 @@ def install_monai_shim():
         sys.modules[name] = mod
 
 
+def install_monai_unetr_shim():
+    """Extend the monai shim so the reference's UNETR
+    (3D/pancreas_code/networks/unetr.py:22-229) imports and runs:
+
+      * `monai.networks.blocks.dynunet_block.UnetOutBlock` and the
+        UnetResBlock used inside the Unetr* blocks come from the
+        reference's OWN vendored copy
+        (3D/pancreas_code/networks/dynunet_block.py) loaded under the
+        base shim — no re-implementation;
+      * UnetrBasicBlock / UnetrPrUpBlock / UnetrUpBlock are re-typings
+        of MONAI 0.7's (monai/networks/blocks/unetr_block.py):
+        BasicBlock wraps UnetResBlock; PrUpBlock (conv_block=False) is
+        a k2-s2 deconv chain; UpBlock is deconv → concat(skip) →
+        UnetResBlock. All convs via the vendored get_conv_layer
+        (bias=False, conv_only) so parameter names match the real
+        MONAI state dict;
+      * `monai.networks.nets.ViT` is a re-typing of MONAI 0.7's ViT
+        (PatchEmbeddingBlock perceptron variant, SABlock with fused
+        no-bias qkv, MLPBlock, pre-norm TransformerBlock; forward
+        returns (normed tokens, per-block hidden states)).
+    """
+    install_monai_shim()
+    import importlib.util
+    import torch.nn as nn
+    from einops.layers.torch import Rearrange
+
+    blocks_mod = sys.modules["monai.networks.blocks"]
+    if hasattr(blocks_mod, "UnetrBasicBlock"):
+        return
+
+    spec = importlib.util.spec_from_file_location(
+        "pancreas_dynunet_block",
+        "/root/reference/3D/pancreas_code/networks/dynunet_block.py")
+    dyn = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(dyn)
+
+    class UnetrBasicBlock(nn.Module):
+        def __init__(self, spatial_dims, in_channels, out_channels,
+                     kernel_size, stride, norm_name, res_block=False):
+            super().__init__()
+            cls = dyn.UnetResBlock if res_block else dyn.UnetBasicBlock
+            self.layer = cls(spatial_dims, in_channels, out_channels,
+                             kernel_size=kernel_size, stride=stride,
+                             norm_name=norm_name)
+
+        def forward(self, inp):
+            return self.layer(inp)
+
+    class UnetrPrUpBlock(nn.Module):
+        def __init__(self, spatial_dims, in_channels, out_channels,
+                     num_layer, kernel_size, stride,
+                     upsample_kernel_size, norm_name,
+                     conv_block=False, res_block=False):
+            super().__init__()
+            assert not conv_block, "shim covers conv_block=False (the" \
+                                   " reference UNETR default)"
+            u = upsample_kernel_size
+            self.transp_conv_init = dyn.get_conv_layer(
+                spatial_dims, in_channels, out_channels, kernel_size=u,
+                stride=u, conv_only=True, is_transposed=True)
+            self.blocks = nn.ModuleList([
+                dyn.get_conv_layer(
+                    spatial_dims, out_channels, out_channels,
+                    kernel_size=u, stride=u, conv_only=True,
+                    is_transposed=True)
+                for _ in range(num_layer)])
+
+        def forward(self, x):
+            x = self.transp_conv_init(x)
+            for blk in self.blocks:
+                x = blk(x)
+            return x
+
+    class UnetrUpBlock(nn.Module):
+        def __init__(self, spatial_dims, in_channels, out_channels,
+                     kernel_size, upsample_kernel_size, norm_name,
+                     res_block=False):
+            super().__init__()
+            u = upsample_kernel_size
+            self.transp_conv = dyn.get_conv_layer(
+                spatial_dims, in_channels, out_channels, kernel_size=u,
+                stride=u, conv_only=True, is_transposed=True)
+            cls = dyn.UnetResBlock if res_block else dyn.UnetBasicBlock
+            self.conv_block = cls(
+                spatial_dims, out_channels + out_channels, out_channels,
+                kernel_size=kernel_size, stride=1, norm_name=norm_name)
+
+        def forward(self, inp, skip):
+            out = self.transp_conv(inp)
+            out = torch.cat((out, skip), dim=1)
+            return self.conv_block(out)
+
+    class PatchEmbeddingBlock(nn.Module):
+        def __init__(self, in_channels, img_size, patch_size,
+                     hidden_size, num_heads, pos_embed,
+                     dropout_rate=0.0):
+            super().__init__()
+            assert pos_embed == "perceptron", "shim covers the" \
+                " reference UNETR default (pos_embed='perceptron')"
+            n_patches = 1
+            patch_dim = in_channels
+            for i, p in zip(img_size, patch_size):
+                n_patches *= i // p
+                patch_dim *= p
+            self.patch_embeddings = nn.Sequential(
+                Rearrange("b c (h p1) (w p2) (d p3) -> b (h w d)"
+                          " (p1 p2 p3 c)",
+                          p1=patch_size[0], p2=patch_size[1],
+                          p3=patch_size[2]),
+                nn.Linear(patch_dim, hidden_size))
+            self.position_embeddings = nn.Parameter(
+                torch.zeros(1, n_patches, hidden_size))
+            self.dropout = nn.Dropout(dropout_rate)
+
+        def forward(self, x):
+            x = self.patch_embeddings(x)
+            x = x + self.position_embeddings
+            return self.dropout(x)
+
+    class SABlock(nn.Module):
+        def __init__(self, hidden_size, num_heads, dropout_rate=0.0):
+            super().__init__()
+            self.num_heads = num_heads
+            self.head_dim = hidden_size // num_heads
+            self.scale = self.head_dim ** -0.5
+            self.qkv = nn.Linear(hidden_size, hidden_size * 3,
+                                 bias=False)
+            self.out_proj = nn.Linear(hidden_size, hidden_size)
+            self.drop_weights = nn.Dropout(dropout_rate)
+            self.drop_output = nn.Dropout(dropout_rate)
+
+        def forward(self, x):
+            b, n, _ = x.shape
+            qkv = self.qkv(x).reshape(
+                b, n, 3, self.num_heads, self.head_dim)
+            qkv = qkv.permute(2, 0, 3, 1, 4)  # qkv b heads n d
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            att = (torch.einsum("blxd,blyd->blxy", q, k)
+                   * self.scale).softmax(dim=-1)
+            att = self.drop_weights(att)
+            o = torch.einsum("bhxy,bhyd->bhxd", att, v)
+            o = o.permute(0, 2, 1, 3).reshape(b, n, -1)
+            return self.drop_output(self.out_proj(o))
+
+    class MLPBlock(nn.Module):
+        def __init__(self, hidden_size, mlp_dim, dropout_rate=0.0):
+            super().__init__()
+            self.linear1 = nn.Linear(hidden_size, mlp_dim)
+            self.linear2 = nn.Linear(mlp_dim, hidden_size)
+            self.fn = nn.GELU()
+            self.drop1 = nn.Dropout(dropout_rate)
+            self.drop2 = nn.Dropout(dropout_rate)
+
+        def forward(self, x):
+            return self.drop2(
+                self.linear2(self.drop1(self.fn(self.linear1(x)))))
+
+    class TransformerBlock(nn.Module):
+        def __init__(self, hidden_size, mlp_dim, num_heads,
+                     dropout_rate=0.0):
+            super().__init__()
+            self.mlp = MLPBlock(hidden_size, mlp_dim, dropout_rate)
+            self.norm1 = nn.LayerNorm(hidden_size)
+            self.attn = SABlock(hidden_size, num_heads, dropout_rate)
+            self.norm2 = nn.LayerNorm(hidden_size)
+
+        def forward(self, x):
+            x = x + self.attn(self.norm1(x))
+            x = x + self.mlp(self.norm2(x))
+            return x
+
+    class ViT(nn.Module):
+        def __init__(self, in_channels, img_size, patch_size,
+                     hidden_size=768, mlp_dim=3072, num_layers=12,
+                     num_heads=12, pos_embed="perceptron",
+                     classification=False, dropout_rate=0.0):
+            super().__init__()
+            assert not classification
+            self.patch_embedding = PatchEmbeddingBlock(
+                in_channels, img_size, patch_size, hidden_size,
+                num_heads, pos_embed, dropout_rate)
+            self.blocks = nn.ModuleList([
+                TransformerBlock(hidden_size, mlp_dim, num_heads,
+                                 dropout_rate)
+                for _ in range(num_layers)])
+            self.norm = nn.LayerNorm(hidden_size)
+
+        def forward(self, x):
+            x = self.patch_embedding(x)
+            hidden_states_out = []
+            for blk in self.blocks:
+                x = blk(x)
+                hidden_states_out.append(x)
+            x = self.norm(x)
+            return x, hidden_states_out
+
+    dynunet_mod = types.ModuleType("monai.networks.blocks.dynunet_block")
+    dynunet_mod.UnetOutBlock = dyn.UnetOutBlock
+    dynunet_mod.UnetResBlock = dyn.UnetResBlock
+    dynunet_mod.UnetBasicBlock = dyn.UnetBasicBlock
+    dynunet_mod.get_conv_layer = dyn.get_conv_layer
+    nets_mod = types.ModuleType("monai.networks.nets")
+    nets_mod.ViT = ViT
+    blocks_mod.UnetrBasicBlock = UnetrBasicBlock
+    blocks_mod.UnetrPrUpBlock = UnetrPrUpBlock
+    blocks_mod.UnetrUpBlock = UnetrUpBlock
+    blocks_mod.dynunet_block = dynunet_mod
+    sys.modules["monai.networks.blocks.dynunet_block"] = dynunet_mod
+    sys.modules["monai.networks.nets"] = nets_mod
+    sys.modules["monai.networks"].nets = nets_mod
+
+
 def install_batchgenerators_shim():
     """neural_network.py imports pad_nd_image at module level; a stub is
     enough for constructing/forwarding the models."""

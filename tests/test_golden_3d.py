@@ -377,3 +377,56 @@ def test_golden_pancreas_dlka_net_parity():
         assert a.shape == yt.shape
         assert np.abs(a - yt).max() < 2e-4 * scale, \
             f"head {i}: {np.abs(a - yt).max()} vs {scale}"
+
+
+# ---------------------------------------------------------------------------
+# Golden: pancreas UNETR baseline (unetr.py:22-229 / MONAI 0.7)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_golden_unetr_parity():
+    """Activation parity vs the reference's OWN unetr.py executed under
+    the MONAI-0.7 shim (reference_harness.install_monai_unetr_shim):
+    the Unetr*/UnetOut blocks inside come from the reference's vendored
+    dynunet_block.py, the ViT from a name-faithful MONAI-0.7 re-typing.
+    All params randomised (position embeddings are zero-init upstream,
+    so left at copy) before conversion."""
+    import importlib.util
+    import torch as _t
+
+    rh.install_monai_unetr_shim()
+    spec = importlib.util.spec_from_file_location(
+        "pancreas_unetr",
+        "/root/reference/3D/pancreas_code/networks/unetr.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    _t.manual_seed(0)
+    ref = mod.UNETR(in_channels=1, out_channels=2, img_size=(32, 32, 32),
+                    feature_size=8, hidden_size=48, mlp_dim=96,
+                    num_heads=4, pos_embed="perceptron",
+                    norm_name="instance", conv_block=False,
+                    res_block=True, dropout_rate=0.0).eval()
+    with _t.no_grad():
+        g = _t.Generator().manual_seed(1)
+        for p in ref.parameters():
+            p.normal_(0.0, 0.05, generator=g)
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    from deformablelka_tpu.convert.torch_loader import convert_unetr
+    from deformablelka_tpu.models.pancreas_baselines import UNETR
+
+    variables = convert_unetr(sd)
+    x = np.random.RandomState(0).randn(1, 1, 32, 32, 32).astype(
+        np.float32)
+    with torch.no_grad():
+        y_t = ref(torch.tensor(x)).numpy()
+    model = UNETR(n_classes=2, in_channels=1, img_size=(32, 32, 32),
+                  feature_size=8, hidden=48, mlp_dim=96, heads=4)
+    y_j = np.asarray(model.apply(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 4, 1)))).transpose(
+        0, 4, 1, 2, 3)
+    scale = max(np.abs(y_t).max(), 1.0)
+    assert y_j.shape == y_t.shape
+    assert np.abs(y_j - y_t).max() < 2e-4 * scale, \
+        f"{np.abs(y_j - y_t).max()} vs {scale}"
