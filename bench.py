@@ -25,6 +25,87 @@ import json
 import time
 
 
+def _matmul_ceiling_tflops():
+    """Measured session matmul ceiling (bf16 4096^3 chained slope) —
+    emitted so round-over-round vs_baseline numbers stay interpretable
+    when the tunnel's throttle drifts (PERF.md documents 2-4x session
+    variance)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    a = jnp.asarray(np.random.RandomState(0).randn(4096, 4096),
+                    jnp.bfloat16)
+
+    def chain(a, n):
+        y = a
+        for _ in range(n):
+            y = jnp.dot(y, a)
+        return jnp.sum(y.astype(jnp.float32))
+
+    ts = {}
+    for n in (2, 6):
+        f = jax.jit(lambda a, n=n: chain(a, n))
+        np.asarray(f(a))
+        t0 = time.time()
+        for _ in range(3):
+            out = f(a)
+        np.asarray(out)
+        ts[n] = (time.time() - t0) / 3
+    per_matmul = (ts[6] - ts[2]) / 4
+    return 2 * 4096 ** 3 / per_matmul / 1e12
+
+
+def _bench_train_step():
+    """Flagship train-step seconds (batch 2, remat, deep supervision,
+    nesterov 0.99, clip 12 — the reference's exact training config,
+    d_lka_former_trainer_synapse.py:49-58). vs_baseline assumes a
+    1.0 s/step A100 reference (nnUNet-class batch-2 iteration; the
+    reference repo commits no training-throughput numbers)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from deformablelka_tpu.models.dlka_former import dlka_former_synapse
+    from deformablelka_tpu.training.train_step import (
+        make_sgd, make_train_step, init_train_state)
+    from deformablelka_tpu.training.losses import poly_lr
+
+    B, patch = 2, (64, 128, 128)
+    rng = jax.random.PRNGKey(0)
+    model = dlka_former_synapse(num_classes=14, do_ds=True, remat=True)
+    x = jnp.zeros((B, *patch, 1), jnp.bfloat16)
+    variables = jax.jit(model.init)(rng, x)
+    tx = make_sgd(lambda s: poly_lr(0, 1000, 1e-2), momentum=0.99,
+                  nesterov=True, clip_norm=12.0)
+    state = init_train_state(variables, tx)
+    step = jax.jit(make_train_step(model.apply, tx,
+                                   deep_supervision=True))
+    batch = {
+        "image": jnp.asarray(
+            np.random.RandomState(0).randn(B, *patch, 1), jnp.bfloat16),
+        "label": jnp.asarray(
+            np.random.RandomState(1).randint(0, 14, (B, *patch)),
+            jnp.int32),
+    }
+    state, m = step(state, batch)
+    np.asarray(m["loss"])  # compile + warm
+    reps = 3
+    t0 = time.time()
+    for _ in range(reps):
+        state, m = step(state, batch)
+    np.asarray(m["loss"])
+    dt = (time.time() - t0) / reps
+    baseline_s = 1.0
+    return {
+        "metric": "train3d_step_seconds_batch2",
+        "value": round(dt, 3),
+        "unit": ("s/step (batch 2, 64x128x128, remat, DS, nesterov"
+                 " 0.99, clip 12; assumed A100 baseline 1.0 s/step)"),
+        "vs_baseline": round(baseline_s / dt, 3),
+    }
+
+
 def _bench_2d():
     """2D flagship batch-1 device-time latency (ms/img), like bench2d."""
     import jax
@@ -80,7 +161,9 @@ def main():
         # transfer (165 MB at ~7 MB/s), a PCIe-nonexistent artifact.
         sw = SlidingWindowInference(apply_fn, patch_size=patch,
                                     num_classes=14, step_size=0.5,
-                                    do_mirroring=True, loop_mode="scan")
+                                    do_mirroring=True, loop_mode="scan",
+                                    input_dtype=jnp.bfloat16,
+                                    tta_batch=4)
         vol = np.random.RandomState(0).randn(96, 192, 160, 1).astype(
             np.float32)
         t0 = time.time()
@@ -95,6 +178,24 @@ def main():
             secondary = _bench_2d()
         except Exception as e:  # pragma: no cover
             secondary = {"error": type(e).__name__}
+        extras = {}
+        try:
+            extras["matmul_ceiling_tflops"] = round(
+                _matmul_ceiling_tflops(), 2)
+        except Exception as e:  # pragma: no cover
+            extras["matmul_ceiling_tflops"] = type(e).__name__
+        try:
+            from deformablelka_tpu.utils.profiling import (
+                latency_bench_scan)
+            r = latency_bench_scan(apply_fn, (variables, x0), reps=20,
+                                   rounds=2)
+            extras["device_ms_per_fwd"] = round(r["mean_ms"], 1)
+        except Exception as e:  # pragma: no cover
+            extras["device_ms_per_fwd"] = type(e).__name__
+        try:
+            extras["train"] = _bench_train_step()
+        except Exception as e:  # pragma: no cover
+            extras["train"] = {"error": type(e).__name__}
         print(json.dumps({
             "metric": "synapse3d_sliding_window_volumes_per_sec",
             "value": round(vols_per_sec, 4),
@@ -103,6 +204,7 @@ def main():
                      f" argmax; compile+warm {warm:.0f}s)"),
             "vs_baseline": round(vols_per_sec / baseline_vps, 3),
             "secondary": secondary,
+            "extras": extras,
         }))
         return
     except Exception as e:  # pragma: no cover - TPU-environment fallback

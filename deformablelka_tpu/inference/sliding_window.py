@@ -209,7 +209,8 @@ class SlidingWindowInference:
                  grid_mode: str = "nnunet",
                  stride_xy: int = 16, stride_z: int = 16, mesh=None,
                  mesh_axis: str = "data", loop_mode: str | None = None,
-                 shape_buckets: bool | None = None):
+                 shape_buckets: bool | None = None,
+                 input_dtype=None):
         self.apply_fn = apply_fn
         self.patch_size = tuple(patch_size)
         self.num_classes = num_classes
@@ -256,6 +257,10 @@ class SlidingWindowInference:
             import os
             shape_buckets = os.environ.get("DLKA_SW_BUCKET", "1") != "0"
         self.shape_buckets = shape_buckets
+        # upload dtype for the volume (e.g. jnp.bfloat16 when apply_fn
+        # casts to bf16 anyway — halves the host→device transfer with
+        # bit-identical model inputs; accumulators stay f32)
+        self.input_dtype = input_dtype
         self._jitted = {}
         self._tile_fn = None
         self._acc_fn = None
@@ -345,6 +350,8 @@ class SlidingWindowInference:
         if do_mirroring is not None and do_mirroring != self.do_mirroring:
             self.do_mirroring = do_mirroring
             self._jitted.clear()
+        if self.input_dtype is not None:
+            volume = volume.astype(self.input_dtype)
         data, slicer = pad_to_min(volume, self.patch_size)
         padded_shape = data.shape[:3]
         if self.grid_mode == "stride":

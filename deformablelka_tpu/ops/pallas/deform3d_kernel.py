@@ -396,6 +396,18 @@ def _sample_dot_kernel_v3(off_ref, xt_ref, w_ref, out_ref, *, TZ, TY,
         out_ref[...] = out_ref[...] + contrib
 
 
+def _relu_hats(d, R):
+    """Per-shift hat weights for a CLIPPED offset |d| ≤ R, R=1, via
+    relu identities (4 wide ops instead of ~9 abs/sub/max per axis):
+    hat(d−(−1))=relu(−d), hat(d−1)=relu(d), hat(d)=1−both."""
+    if R != 1:  # pragma: no cover - only R=1 kernels call this
+        return [jnp.maximum(0.0, 1.0 - jnp.abs(d - s))
+                for s in range(-R, R + 1)]
+    hm = jnp.maximum(0.0, -d)
+    hp = jnp.maximum(0.0, d)
+    return [hm, 1.0 - hm - hp, hp]
+
+
 def _sample_dot_kernel_v4(off_ref, xt_ref, w_ref, out_ref, *, TZ, TY,
                           TX, C, R, m, F):
     """v4 = v3 with factored FULL-WIDTH hats (2 broadcasts per tap).
@@ -411,6 +423,10 @@ def _sample_dot_kernel_v4(off_ref, xt_ref, w_ref, out_ref, *, TZ, TY,
     (benchmarks/probe_deform_v5.py mode `v5a`, exact parity). The
     nested-difference form (4 broadcasts, fewer FMAs) measured 3.0 ms
     — more FMA-class ops beat more broadcasts on this VPU.
+
+    Hats are built via the relu identities exact for clipped |d| ≤ 1
+    (R=1): hat(d+1)=relu(−d), hat(d−1)=relu(d), hat(d)=1−both — 4 wide
+    ops per axis instead of ~9 (probe_deform_v6 `v4r`: 2.20 vs 2.29).
     """
     span = 2 * R + 1
     k = pl.program_id(1)
@@ -425,14 +441,10 @@ def _sample_dot_kernel_v4(off_ref, xt_ref, w_ref, out_ref, *, TZ, TY,
     hxp = jnp.maximum(0.0, 1.0 - jnp.abs(dx[..., None] - s_of_lane))
     hxp = jnp.where(lane_g < span, hxp, 0.0)
     wide = (TZ, TY, TX, F * C)
-    dzf = jnp.broadcast_to(
-        jnp.clip(off_ref[0], -R, R)[..., None], wide)
-    dyf = jnp.broadcast_to(
-        jnp.clip(off_ref[1], -R, R)[..., None], wide)
-    hz = [jnp.maximum(0.0, 1.0 - jnp.abs(dzf - s))
-          for s in range(-R, R + 1)]
-    hy = [jnp.maximum(0.0, 1.0 - jnp.abs(dyf - s))
-          for s in range(-R, R + 1)]
+    hz = _relu_hats(jnp.broadcast_to(
+        jnp.clip(off_ref[0], -R, R)[..., None], wide), R)
+    hy = _relu_hats(jnp.broadcast_to(
+        jnp.clip(off_ref[1], -R, R)[..., None], wide), R)
 
     acc = jnp.zeros(wide, jnp.float32)
     for sz in range(span):
@@ -483,14 +495,10 @@ def _sample_dot_kernel_v4w(off_ref, xt_ref, w_ref, out_ref, *, TZ, TY,
                                       3) // C
     dx = jnp.clip(off_ref[2], -R, R)
     wide = (TZ, TY, TX, F * C)
-    dzf = jnp.broadcast_to(
-        jnp.clip(off_ref[0], -R, R)[..., None], wide)
-    dyf = jnp.broadcast_to(
-        jnp.clip(off_ref[1], -R, R)[..., None], wide)
-    hz = [jnp.maximum(0.0, 1.0 - jnp.abs(dzf - s))
-          for s in range(-R, R + 1)]
-    hy = [jnp.maximum(0.0, 1.0 - jnp.abs(dyf - s))
-          for s in range(-R, R + 1)]
+    hz = _relu_hats(jnp.broadcast_to(
+        jnp.clip(off_ref[0], -R, R)[..., None], wide), R)
+    hy = _relu_hats(jnp.broadcast_to(
+        jnp.clip(off_ref[1], -R, R)[..., None], wide), R)
 
     sample = None
     for p in range(n_packs):
@@ -554,46 +562,50 @@ def _forward_v3(x, offset, w, radius: int, interpret: bool = False,
     w_k3 = w.reshape(27, C, C).astype(jnp.float32)
     kern = functools.partial(kern_fn, TZ=TZ, TY=TY,
                              TX=TX, C=C, R=R, m=m, F=F)
-    flops = D * H * W * C * 27 * 2 * (F * (span * span + 2) + C)
+    flops = B * D * H * W * C * 27 * 2 * (F * (span * span + 2) + C)
 
-    def one_batch(args):
-        off, xp4b = args
-        o = off.reshape(27, 3, n_z, TZ, n_y, TY, n_x, TX)
-        o = jnp.transpose(o, (0, 2, 4, 6, 1, 3, 5, 7))
-        o = o.reshape(27 * n_t * 3, TZ, TY, TX)
-        tiles = _make_tiles(xp4b, D, H, W, TZ, TY, TX, m)
-        out = pl.pallas_call(
-            kern,
-            grid=(n_t, 27),
-            in_specs=[
-                pl.BlockSpec((3, TZ, TY, TX),
-                             lambda t, k: (k * n_t + t, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((TZ + 2 * m, TY + 2 * m, TX + 2 * m,
-                              F * C),
-                             lambda t, k: (t, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, C, C), lambda t, k: (k, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((TZ, TY, TX, C),
-                                   lambda t, k: (t, 0, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((n_t * TZ, TY, TX, C),
-                                           jnp.float32),
-            cost_estimate=pl.CostEstimate(
-                flops=flops,
-                bytes_accessed=xp4b.size * 4 + o.size * 4,
-                transcendentals=0),
-            interpret=interpret,
-        )(o, tiles, w_k3)
-        s = out.reshape(n_z, n_y, n_x, TZ, TY, TX, C)
-        s = jnp.transpose(s, (0, 3, 1, 4, 2, 5, 6))
-        return s.reshape(D, H, W, C).astype(x.dtype)
-
-    if B == 1:
-        return one_batch((off_all[0], xp4[0]))[None]
-    return jax.lax.map(one_batch, (off_all, xp4))
+    # BATCH-AWARE grid (B·n_t, 27): batch folds into the tile axis so
+    # TTA/tile batching scales the one pallas_call instead of
+    # serialising per-sample through lax.map. Tap k stays innermost —
+    # consecutive taps reuse the VMEM-resident x-tile.
+    nbt = B * n_t
+    # offsets → (27, B, n_t, 3, TZ, TY, TX) → flat dim0 so block
+    # (k, t=b·n_t+tt) lives at row k·nbt + t
+    o = off_all.reshape(B, 27, 3, n_z, TZ, n_y, TY, n_x, TX)
+    o = jnp.transpose(o, (1, 0, 3, 5, 7, 2, 4, 6, 8))
+    o = o.reshape(27 * nbt * 3, TZ, TY, TX)
+    tiles = jax.vmap(
+        lambda v: _make_tiles(v, D, H, W, TZ, TY, TX, m))(xp4)
+    tiles = tiles.reshape(nbt * (TZ + 2 * m), TY + 2 * m,
+                          TX + 2 * m, F * C)
+    out = pl.pallas_call(
+        kern,
+        grid=(nbt, 27),
+        in_specs=[
+            pl.BlockSpec((3, TZ, TY, TX),
+                         lambda t, k, nbt=nbt: (k * nbt + t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TZ + 2 * m, TY + 2 * m, TX + 2 * m,
+                          F * C),
+                         lambda t, k: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, C), lambda t, k: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TZ, TY, TX, C),
+                               lambda t, k: (t, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nbt * TZ, TY, TX, C),
+                                       jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=tiles.size * 4 + o.size * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(o, tiles, w_k3)
+    s = out.reshape(B, n_z, n_y, n_x, TZ, TY, TX, C)
+    s = jnp.transpose(s, (0, 1, 4, 2, 5, 3, 6, 7))
+    return s.reshape(B, D, H, W, C).astype(x.dtype)
 
 
 def _forward_v4(x, offset, w, radius: int, interpret: bool = False):
