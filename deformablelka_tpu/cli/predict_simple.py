@@ -26,6 +26,15 @@ def main(argv=None):
     ap.add_argument("--trans_block",
                     default="TransformerBlock_3D_single_deform_LKA")
     ap.add_argument("--num_classes", type=int, default=14)
+    ap.add_argument("--patch_size", type=int, nargs=3,
+                    default=[64, 128, 128],
+                    help="sliding-window patch (reference Synapse "
+                         "default 64 128 128)")
+    ap.add_argument("--norm", default="CT", choices=["CT", "nonCT"],
+                    help="preprocessing normalization scheme "
+                         "(preprocessing.py:276-316)")
+    ap.add_argument("--target_spacing", type=float, nargs=3,
+                    default=[3.0, 0.76, 0.76])
     args = ap.parse_args(argv)
 
     import jax
@@ -36,32 +45,34 @@ def main(argv=None):
     from deformablelka_tpu.inference.predictor3d import (
         Predictor3D, predict_from_folder)
 
+    patch = tuple(args.patch_size)
     model = dlka_former_synapse(num_classes=args.num_classes, do_ds=False,
-                                trans_block=args.trans_block)
+                                trans_block=args.trans_block,
+                                img_size=patch)
 
     params_per_fold = []
     for fold in args.folds:
         ckpt = CheckpointManager(f"{args.model_folder}/fold_{fold}/ckpt")
-        x = jnp.zeros((1, 64, 128, 128, 1), jnp.float32)
-        template = jax.jit(model.init)(jax.random.PRNGKey(0), x)
         state, _ = ckpt.load(args.checkpoint_name, None)
         variables = {"params": state["params"]}
         if state.get("batch_stats"):
             variables["batch_stats"] = state["batch_stats"]
         params_per_fold.append(variables)
 
+    intensity = None
+    if args.norm == "CT":
+        intensity = {0: {"percentile_00_5": -958, "percentile_99_5": 270,
+                         "mean": 99.4, "sd": 77.9}}
     pre = GenericPreprocessor(
-        normalization_schemes=["CT"], use_nonzero_mask=[False],
-        target_spacing=[3.0, 0.76, 0.76],
-        intensity_properties={0: {"percentile_00_5": -958,
-                                  "percentile_99_5": 270,
-                                  "mean": 99.4, "sd": 77.9}})
+        normalization_schemes=[args.norm], use_nonzero_mask=[False],
+        target_spacing=list(args.target_spacing),
+        intensity_properties=intensity)
 
     def apply_fn(variables, x):
         return model.apply(variables, x)
 
     predictor = Predictor3D(apply_fn, params_per_fold, pre,
-                            patch_size=(64, 128, 128),
+                            patch_size=patch,
                             num_classes=args.num_classes,
                             step_size=args.step_size,
                             do_mirroring=not args.disable_tta)

@@ -15,6 +15,7 @@ from typing import Any, Callable, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import flax.linen as nn
 
 from deformablelka_tpu.ops import convs as C
@@ -113,7 +114,7 @@ class ConvTranspose(nn.Module):
         w = self.param("weight", _kaiming_conv, shape)
         b = None
         if self.use_bias:
-            fan_in = cin * int(jnp.prod(jnp.array(ks)))
+            fan_in = cin * int(np.prod(ks))
             b = self.param("bias", _conv_bias_init(fan_in), (self.features,))
         return C.conv_transpose(x, w, stride=self.stride, bias=b)
 
