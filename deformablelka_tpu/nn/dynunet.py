@@ -64,6 +64,8 @@ class UnetResBlock(nn.Module):
                        else [self.stride])
         downsample = (in_channels != self.out_channels
                       or any(s != 1 for s in stride_list))
+        if self._use_s2d(x, stride_list):
+            return self._call_s2d(x, downsample)
         out = _conv(self.spatial_dims, self.out_channels, self.kernel_size,
                     self.stride, name="conv1")(x)
         out = _norm(self.norm_name, "norm1", self.train)(out)
@@ -77,6 +79,60 @@ class UnetResBlock(nn.Module):
                              self.stride, name="conv3")(residual)
             residual = _norm(self.norm_name, "norm3", self.train)(residual)
         return lrelu(out + residual)
+
+    def _use_s2d(self, x, stride_list):
+        """Whole-block space-to-depth fast path eligibility.
+
+        At full-resolution small-C shapes the per-conv s2d rewrite is
+        MXU-fast (0.38 ms vs 1.6 emitter at 64×128×128 C16) but each
+        conv pays ~0.9 ms of pack/unpack transposes that XLA does NOT
+        elide across the interleaved norm/lrelu ops — the composed
+        block measured 6.3 ms against ~1 ms of parts
+        (benchmarks/probe_fullres_pair_r3.py, 2026-08-19). Packing
+        ONCE per block and running conv/IN/lrelu/residual in s2d space
+        (exact: stats reduce over the corner axis too) removes all
+        interior transposes. Instance-norm-only (affine-free, matching
+        the reference's blocks) and 3³/stride-1 only."""
+        import os
+        norm = self.norm_name
+        if isinstance(norm, (tuple, list)):
+            norm = norm[0]
+        from deformablelka_tpu.ops.convs import _tuple
+        return (self.spatial_dims == 3
+                and norm == "instance"
+                and tuple(_tuple(self.kernel_size, 3)) == (3, 3, 3)
+                and all(s == 1 for s in stride_list)
+                and x.ndim == 5
+                and all(d % 2 == 0 for d in x.shape[1:4])
+                and x.shape[1] * x.shape[2] * x.shape[3] >= (1 << 17)
+                and x.shape[-1] <= 32 and self.out_channels <= 32
+                and os.environ.get("DLKA_RESBLOCK_S2D", "1") == "1")
+
+    def _call_s2d(self, x, downsample):
+        from deformablelka_tpu.ops.convs import (
+            s2d_pack, s2d_unpack, conv3d_s2d_space, conv1x1_s2d_space,
+            instance_norm_s2d_space)
+        Co = self.out_channels
+        w1, _ = Conv3d(Co, self.kernel_size, stride=1, padding="same",
+                       use_bias=False, as_params=True, name="conv1")(x)
+        stub = jnp.zeros((1, 2, 2, 2, Co), x.dtype)
+        w2, _ = Conv3d(Co, self.kernel_size, stride=1, padding="same",
+                       use_bias=False, as_params=True, name="conv2")(stub)
+        X = s2d_pack(x)
+        out = conv3d_s2d_space(X, w1)
+        out = instance_norm_s2d_space(out, Co)
+        out = lrelu(out)
+        out = conv3d_s2d_space(out, w2)
+        out = instance_norm_s2d_space(out, Co)
+        if downsample:
+            w3, _ = Conv3d(Co, 1, stride=1, padding="same",
+                           use_bias=False, as_params=True,
+                           name="conv3")(x)
+            residual = conv1x1_s2d_space(X, w3)
+            residual = instance_norm_s2d_space(residual, Co)
+        else:
+            residual = X
+        return s2d_unpack(lrelu(out + residual), Co)
 
 
 class UnetBasicBlock(nn.Module):

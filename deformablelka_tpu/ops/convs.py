@@ -96,32 +96,34 @@ def _conv3d_im2col(x, w, padding, bias):
     return out
 
 
-def _conv3d_s2d(x, w, bias):
-    """Dense 3³ stride-1 conv via space-to-depth: exact reformulation as
-    a half-resolution 3³ conv with 8×C channels.
-
-    The TPU conv emitter wastes 7/8 of the MXU lanes at the model's
-    full-resolution widths (C=1..32, lane width 128). Folding a 2³ cell
-    into channels gives C'=8C in/out — 8× the nominal FLOPs but on full
-    lanes, which wins whenever the original conv is lane-bound (the
-    flagship's full-res UnetResBlock: C_in 1/16, 64×128×128 maps).
-    The scattered kernel W'[q+1, (e,c), (d,o)] = w[k, c, o] with
-    d + k - 1 = 2q + e per axis is exact incl. zero same-padding
-    (out-of-range taps land in the coarse zero-pad ring).
-    Requires even D/H/W; kernel 3³, stride 1, dilation 1, groups 1.
-    """
+def s2d_pack(x):
+    """Space-to-depth pack: (B, D, H, W, C) → (B, D/2, H/2, W/2, 8C)
+    with lane layout (e, c), e = (ez·2+ey)·2+ex the intra-cell corner.
+    Requires even D/H/W."""
     B, D, H, W, C = x.shape
-    Co = w.shape[-1]
-    Dc, Hc, Wc = D // 2, H // 2, W // 2
-    X = x.reshape(B, Dc, 2, Hc, 2, Wc, 2, C)
-    X = X.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(B, Dc, Hc, Wc, 8 * C)
-    w = w.astype(x.dtype)
-    # W2[(qz,qy,qx), (ez,ey,ex,c), (dz,dy,dx,o)] built as ONE einsum
-    # with a constant per-axis one-hot A[k,d,q,e] = 1 iff
-    # d + k - 1 = 2(q-1) + e. (The previous 216 `.at[].set()` scatters
-    # ran ON DEVICE every forward — w is a traced param — and owned
-    # ~4 ms of each full-res UnetResBlock; measured 2026-08-19.)
+    X = x.reshape(B, D // 2, 2, H // 2, 2, W // 2, 2, C)
+    return X.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(
+        B, D // 2, H // 2, W // 2, 8 * C)
+
+
+def s2d_unpack(X, C):
+    """Inverse of `s2d_pack` (C = the ORIGINAL channel count)."""
+    B, Dc, Hc, Wc, _ = X.shape
+    y = X.reshape(B, Dc, Hc, Wc, 2, 2, 2, C)
+    return y.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(
+        B, 2 * Dc, 2 * Hc, 2 * Wc, C)
+
+
+def _s2d_weight(w):
+    """Scatter a 3³ dense kernel (3,3,3,C,Co) to the s2d-space kernel
+    W'[q+1, (e,c), (d,o)] = w[k, c, o] with d + k - 1 = 2q + e per
+    axis, as ONE einsum with a constant per-axis one-hot
+    A[k,d,q,e] = 1 iff d + k - 1 = 2(q-1) + e. (The previous 216
+    `.at[].set()` scatters ran ON DEVICE every forward — w is a traced
+    param — and owned ~4 ms of each full-res UnetResBlock; measured
+    2026-08-19.)"""
     import numpy as _np
+    C, Co = w.shape[-2], w.shape[-1]
     A = _np.zeros((3, 2, 3, 2), w.dtype)
     for k in range(3):
         for d in range(2):
@@ -131,12 +133,63 @@ def _conv3d_s2d(x, w, bias):
     # w: (kz,ky,kx,c,o) ⊗ Az[kz,dz,qz,ez] Ay[ky,dy,qy,ey] Ax[kx,dx,qx,ex]
     W2 = jnp.einsum("zyxco,zaqe,ybrf,xdsg->qrsefgcabdo", w, A, A, A,
                     preferred_element_type=w.dtype)
-    W2 = W2.reshape(3, 3, 3, 8 * C, 8 * Co)
+    return W2.reshape(3, 3, 3, 8 * C, 8 * Co)
+
+
+def conv3d_s2d_space(X, w, bias=None):
+    """Dense 3³ stride-1 'same' conv on an ALREADY s2d-packed input,
+    returning a packed output. Exact incl. zero same-padding
+    (out-of-range taps land in the coarse zero-pad ring)."""
+    W2 = _s2d_weight(w.astype(X.dtype))
     Y = lax.conv_general_dilated(
         X, W2, (1, 1, 1), ((1, 1), (1, 1), (1, 1)),
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
-    y = Y.reshape(B, Dc, Hc, Wc, 2, 2, 2, Co)
-    y = y.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(B, D, H, W, Co)
+    if bias is not None:
+        Y = Y + jnp.tile(bias, 8).astype(Y.dtype)
+    return Y
+
+
+def conv1x1_s2d_space(X, w, bias=None):
+    """1×1×1 conv on an s2d-packed input (block-diagonal over the 8
+    intra-cell corners: out lane (e,o) reads only lanes (e,·))."""
+    C, Co = w.shape[-2], w.shape[-1]
+    wm = w.reshape(C, Co).astype(X.dtype)
+    W2 = jnp.einsum("co,ed->ecdo", wm,
+                    jnp.eye(8, dtype=X.dtype)).reshape(8 * C, 8 * Co)
+    Y = jnp.dot(X.reshape(-1, 8 * C), W2,
+                preferred_element_type=jnp.float32).astype(X.dtype)
+    Y = Y.reshape(*X.shape[:-1], 8 * Co)
+    if bias is not None:
+        Y = Y + jnp.tile(bias, 8).astype(Y.dtype)
+    return Y
+
+
+def instance_norm_s2d_space(X, C, eps=1e-5):
+    """Instance norm (affine=False) on an s2d-packed input — stats per
+    (sample, original channel c) reduce over (coarse spatial, corner e);
+    exactly the normal-space statistics."""
+    B = X.shape[0]
+    xf = X.astype(jnp.float32).reshape(B, -1, 8, C)
+    mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
+    y = (xf - mean) / jnp.sqrt(var + eps)
+    return y.reshape(X.shape).astype(X.dtype)
+
+
+def _conv3d_s2d(x, w, bias):
+    """Dense 3³ stride-1 conv via space-to-depth: exact reformulation as
+    a half-resolution 3³ conv with 8×C channels.
+
+    The TPU conv emitter wastes 7/8 of the MXU lanes at the model's
+    full-resolution widths (C=1..32, lane width 128). Folding a 2³ cell
+    into channels gives C'=8C in/out — 8× the nominal FLOPs but on full
+    lanes, which wins whenever the original conv is lane-bound (the
+    flagship's full-res UnetResBlock: C_in 1/16, 64×128×128 maps).
+    Requires even D/H/W; kernel 3³, stride 1, dilation 1, groups 1.
+    """
+    B, D, H, W, C = x.shape
+    Co = w.shape[-1]
+    y = s2d_unpack(conv3d_s2d_space(s2d_pack(x), w.astype(x.dtype)), Co)
     if bias is not None:
         y = y + bias.astype(y.dtype)
     return y
@@ -159,7 +212,17 @@ def conv3d(x, w, *, stride=1, padding="same", dilation=1, groups: int = 1,
             and groups == x.shape[-1] and w.shape[3] == 1
             and w.shape[:3] == (k, k, k) and k % 2 == 1
             and tuple(padding) == ((dil[0] * (k // 2),) * 2,) * 3):
-        dw_impl = os.environ.get("DLKA_DWCONV_IMPL", "lax")
+        dw_impl = os.environ.get("DLKA_DWCONV_IMPL", "auto")
+        if dw_impl == "auto":
+            # The TPU emitter's dilated-dw path falls off a cliff when
+            # the dilated extent exceeds the smallest spatial dim
+            # (stage-1 16³ with 7³ d3 → extent 19: lax 1.70 ms vs
+            # zdecomp 0.16, probe_dw_variants_r3, 2026-08-19 full-speed
+            # session; at 32³ where extent < dim, lax 1.07 beats
+            # zdecomp 1.28). Dispatch on that shape-static predicate.
+            extent = dil[0] * (k - 1) + 1
+            dw_impl = ("zdecomp" if extent > min(x.shape[1:4])
+                       else "lax")
         if dw_impl == "zdecomp":
             # dilated depthwise with 'same' extent -> per-z-tap 2D
             # convs. 9× faster ISOLATED (85→9 ms at 32×64×64 C=32) but
@@ -192,6 +255,12 @@ def conv3d(x, w, *, stride=1, padding="same", dilation=1, groups: int = 1,
         small_c = x.shape[-1] <= 32 and w.shape[-1] <= 32
         big_spatial = x.shape[1] * x.shape[2] * x.shape[3] >= (1 << 17)
         even = all(s % 2 == 0 for s in x.shape[1:4])
+        if impl == "auto" and big_spatial and 27 * x.shape[-1] <= 128:
+            # Tiny Cin (≤4, e.g. the encoder1 C1→16 stem conv): the
+            # 27·Cin im2col column fits one lane tile, so one skinny
+            # GEMM beats both the emitter and s2d (0.23 vs 1.60/0.92 ms
+            # at full res, probe_conv_impls_r3, 2026-08-19).
+            return _conv3d_im2col(x, w, padding, bias)
         if (impl == "s2d" or (impl == "auto" and small_c and big_spatial)) \
                 and even:
             return _conv3d_s2d(x, w, bias)
