@@ -1,0 +1,123 @@
+"""Model-level A/B gate for dispatch-default changes.
+
+PERF.md documents five independent times that isolated-op wins did NOT
+compose into model-level wins on this backend (im2col r1, zdecomp r1+r2,
+fused-LKA 3D+2D, and the round-3 end-of-round regression where three
+dispatch defaults shipped on isolated probes and the flagship forward
+went 71 -> 104 ms). THE RULE: any change to a dispatch default
+(DLKA_*_IMPL and friends) requires a same-session model-level
+before/after pair from THIS script recorded in PERF.md.
+
+Usage:
+    python benchmarks/gate_model_ab.py                # default bisect matrix
+    python benchmarks/gate_model_ab.py name:K=V,K2=V2 name2:K=V ...
+
+Each config is measured as flagship device-only ms/fwd via
+`latency_bench_scan` (20 forwards inside ONE jit program, 2 rounds),
+64x128x128 bf16 — the exact `extras.device_ms_per_fwd` protocol of
+bench.py. Env vars are set before tracing (all DLKA knobs are read at
+trace time) and restored after. Params are initialised once and shared
+(every dispatch path uses the same param tree). Configs run
+interleaved twice (A B C A B C) so a mid-run chip-speed drift cannot
+masquerade as a win; the report shows both passes plus the min.
+"""
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+KNOBS = (
+    "DLKA_DWCONV_IMPL", "DLKA_CONV_IMPL", "DLKA_CONV_TINY_IM2COL",
+    "DLKA_RESBLOCK_S2D", "DLKA_DEFORM_IMPL", "DLKA_DEFORM_RADIUS",
+    "DLKA_HYBRID_FAST", "DLKA_PALLAS_KERNEL", "DLKA_LKA_IMPL",
+    "DLKA_GATHER_IMPL", "DLKA_HYBRID_RADIUS", "DLKA_WINDOW_CUSTOM_VJP",
+)
+
+DEFAULT_MATRIX = [
+    ("r3-snapshot", {}),
+    ("dw-lax", {"DLKA_DWCONV_IMPL": "lax"}),
+    ("no-tiny-im2col", {"DLKA_CONV_TINY_IM2COL": "0"}),
+    ("no-resblock-s2d", {"DLKA_RESBLOCK_S2D": "0"}),
+    ("all-reverted", {"DLKA_DWCONV_IMPL": "lax",
+                      "DLKA_CONV_TINY_IM2COL": "0",
+                      "DLKA_RESBLOCK_S2D": "0"}),
+]
+
+
+def parse_configs(argv):
+    if not argv:
+        return DEFAULT_MATRIX
+    out = []
+    for spec in argv:
+        name, _, kvs = spec.partition(":")
+        env = {}
+        if kvs:
+            for kv in kvs.split(","):
+                k, _, v = kv.partition("=")
+                env[k] = v
+        out.append((name, env))
+    return out
+
+
+def main():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from deformablelka_tpu.models.dlka_former import dlka_former_synapse
+    from deformablelka_tpu.utils.profiling import latency_bench_scan
+
+    configs = parse_configs(sys.argv[1:])
+    model = dlka_former_synapse(num_classes=14, do_ds=False)
+    x = jnp.zeros((1, 64, 128, 128, 1), jnp.bfloat16)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+
+    saved = {k: os.environ.get(k) for k in KNOBS}
+
+    def measure(env):
+        for k in KNOBS:
+            os.environ.pop(k, None)
+        os.environ.update(env)
+        try:
+            # fresh lambda -> fresh trace -> env knobs re-read
+            r = latency_bench_scan(lambda v, x: model.apply(v, x),
+                                   (variables, x), reps=20, rounds=2)
+            return r["mean_ms"]
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+
+    results = {name: [] for name, _ in configs}
+    for pazz in range(2):
+        for name, env in configs:
+            t0 = time.time()
+            ms = measure(env)
+            results[name].append(round(ms, 2))
+            print(f"[pass {pazz}] {name:<18} {ms:7.2f} ms/fwd  "
+                  f"(wall {time.time()-t0:.0f}s)  env={env}",
+                  file=sys.stderr, flush=True)
+
+    report = {
+        "protocol": "latency_bench_scan reps=20 rounds=2, 64x128x128 bf16",
+        "configs": {name: {"passes_ms": results[name],
+                           "min_ms": min(results[name]),
+                           "env": env}
+                    for name, env in configs},
+    }
+    best = min(report["configs"].items(), key=lambda kv: kv[1]["min_ms"])
+    report["best"] = best[0]
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

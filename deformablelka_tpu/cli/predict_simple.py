@@ -35,6 +35,14 @@ def main(argv=None):
                          "(preprocessing.py:276-316)")
     ap.add_argument("--target_spacing", type=float, nargs=3,
                     default=[3.0, 0.76, 0.76])
+    ap.add_argument("--use_nonzero_mask", default="0", choices=["0", "1"],
+                    help="normalize within the nonzero mask "
+                         "(preprocessing.py:286-308). nnU-Net planners "
+                         "commonly set this True for nonCT tasks that "
+                         "were nonzero-cropped; it MUST match the value "
+                         "the training pipeline used (the plan's "
+                         "use_nonzero_mask), so it is exposed rather "
+                         "than hard-coded.")
     args = ap.parse_args(argv)
 
     import jax
@@ -64,7 +72,8 @@ def main(argv=None):
         intensity = {0: {"percentile_00_5": -958, "percentile_99_5": 270,
                          "mean": 99.4, "sd": 77.9}}
     pre = GenericPreprocessor(
-        normalization_schemes=[args.norm], use_nonzero_mask=[False],
+        normalization_schemes=[args.norm],
+        use_nonzero_mask=[args.use_nonzero_mask == "1"],
         target_spacing=list(args.target_spacing),
         intensity_properties=intensity)
 

@@ -92,7 +92,12 @@ class UnetResBlock(nn.Module):
         ONCE per block and running conv/IN/lrelu/residual in s2d space
         (exact: stats reduce over the corner axis too) removes all
         interior transposes. Instance-norm-only (affine-free, matching
-        the reference's blocks) and 3³/stride-1 only."""
+        the reference's blocks) and 3³/stride-1 only.
+
+        Like every DLKA_*_IMPL knob, DLKA_RESBLOCK_S2D is read at TRACE
+        time: flipping it after a function is jit-compiled has no
+        effect until a retrace (a fresh `jax.jit` wrapper, or bare
+        `apply()` which retraces per call)."""
         import os
         norm = self.norm_name
         if isinstance(norm, (tuple, list)):

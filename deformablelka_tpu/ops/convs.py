@@ -212,24 +212,28 @@ def conv3d(x, w, *, stride=1, padding="same", dilation=1, groups: int = 1,
             and groups == x.shape[-1] and w.shape[3] == 1
             and w.shape[:3] == (k, k, k) and k % 2 == 1
             and tuple(padding) == ((dil[0] * (k // 2),) * 2,) * 3):
-        dw_impl = os.environ.get("DLKA_DWCONV_IMPL", "auto")
+        dw_impl = os.environ.get("DLKA_DWCONV_IMPL", "lax")
         if dw_impl == "auto":
-            # The TPU emitter's dilated-dw path falls off a cliff when
-            # the dilated extent exceeds the smallest spatial dim
-            # (stage-1 16³ with 7³ d3 → extent 19: lax 1.70 ms vs
-            # zdecomp 0.16, probe_dw_variants_r3, 2026-08-19 full-speed
-            # session; at 32³ where extent < dim, lax 1.07 beats
-            # zdecomp 1.28). Dispatch on that shape-static predicate.
-            extent = dil[0] * (k - 1) + 1
-            dw_impl = ("zdecomp" if extent > min(x.shape[1:4])
-                       else "lax")
+            # 'auto' == 'lax'. The round-3 snapshot shipped an isolated-
+            # probe heuristic here (zdecomp when the dilated extent
+            # exceeds the smallest spatial dim: stage-1 16³ 7³d3 lax
+            # 1.70 vs zdecomp 0.16 ms ISOLATED) and it cost 40 ms at
+            # model level — gate_model_ab 2026-08-19: flagship fwd
+            # 104.6 ms with the heuristic vs 64.4 with lax, reproduced
+            # twice interleaved. Sixth confirmation that isolated-op
+            # wins do not compose; dw dispatch changes must pass the
+            # model-level gate.
+            dw_impl = "lax"
         if dw_impl == "zdecomp":
             # dilated depthwise with 'same' extent -> per-z-tap 2D
-            # convs. 9× faster ISOLATED (85→9 ms at 32×64×64 C=32) but
-            # 2× slower in the full flagship forward (580→1187 ms): the
-            # 7 per-tap conv outputs materialize in HBM where the
-            # single dilated conv writes once — isolated-op wins do not
-            # compose here (same story as im2col). Opt-in only.
+            # convs. Reached by the 'auto' extent>min-dim heuristic
+            # above or explicitly via DLKA_DWCONV_IMPL=zdecomp. History:
+            # 9× faster ISOLATED (85→9 ms at 32×64×64 C=32) but 2×
+            # slower in the r1 full flagship forward (580→1187 ms) — the
+            # k per-tap conv outputs materialize in HBM. Any default
+            # change here must pass benchmarks/gate_model_ab.py (same-
+            # session model-level A/B), per PERF.md's repeated finding
+            # that isolated-op wins do not compose.
             return _depthwise3d_zdecomp(x, w, dil[0], bias)
         if dw_impl == "atrous":
             return _depthwise3d_atrous(x, w, dil[0], bias)
@@ -255,7 +259,9 @@ def conv3d(x, w, *, stride=1, padding="same", dilation=1, groups: int = 1,
         small_c = x.shape[-1] <= 32 and w.shape[-1] <= 32
         big_spatial = x.shape[1] * x.shape[2] * x.shape[3] >= (1 << 17)
         even = all(s % 2 == 0 for s in x.shape[1:4])
-        if impl == "auto" and big_spatial and 27 * x.shape[-1] <= 128:
+        tiny_im2col_ok = os.environ.get("DLKA_CONV_TINY_IM2COL", "1") == "1"
+        if (impl == "auto" and big_spatial and 27 * x.shape[-1] <= 128
+                and tiny_im2col_ok):
             # Tiny Cin (≤4, e.g. the encoder1 C1→16 stem conv): the
             # 27·Cin im2col column fits one lane tile, so one skinny
             # GEMM beats both the emitter and s2d (0.23 vs 1.60/0.92 ms
