@@ -11,6 +11,9 @@ before/after pair from THIS script recorded in PERF.md.
 Usage:
     python benchmarks/gate_model_ab.py                # default bisect matrix
     python benchmarks/gate_model_ab.py name:K=V,K2=V2 name2:K=V ...
+    python benchmarks/gate_model_ab.py --model=2d a: b:DLKA_X=1
+        (2d = MaxViTDeformableLKAFormer batch-1 224², the bench.py
+        secondary protocol, reps=100)
 
 Each config is measured as flagship device-only ms/fwd via
 `latency_bench_scan` (20 forwards inside ONE jit program, 2 rounds),
@@ -35,6 +38,7 @@ KNOBS = (
     "DLKA_RESBLOCK_S2D", "DLKA_DEFORM_IMPL", "DLKA_DEFORM_RADIUS",
     "DLKA_HYBRID_FAST", "DLKA_PALLAS_KERNEL", "DLKA_LKA_IMPL",
     "DLKA_GATHER_IMPL", "DLKA_HYBRID_RADIUS", "DLKA_WINDOW_CUSTOM_VJP",
+    "DLKA_HYBRID_FAST_2D",
 )
 
 DEFAULT_MATRIX = [
@@ -71,12 +75,26 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from deformablelka_tpu.models.dlka_former import dlka_former_synapse
     from deformablelka_tpu.utils.profiling import latency_bench_scan
 
-    configs = parse_configs(sys.argv[1:])
-    model = dlka_former_synapse(num_classes=14, do_ds=False)
-    x = jnp.zeros((1, 64, 128, 128, 1), jnp.bfloat16)
+    argv = sys.argv[1:]
+    model_kind = "3d"
+    if argv and argv[0].startswith("--model="):
+        model_kind = argv[0].split("=", 1)[1]
+        argv = argv[1:]
+    configs = parse_configs(argv)
+    if model_kind == "2d":
+        from deformablelka_tpu.models.maxvit_dlka import (
+            MaxViTDeformableLKAFormer)
+        model = MaxViTDeformableLKAFormer(num_classes=9)
+        x = jnp.zeros((1, 224, 224, 1), jnp.bfloat16)
+        reps = 100
+    else:
+        from deformablelka_tpu.models.dlka_former import (
+            dlka_former_synapse)
+        model = dlka_former_synapse(num_classes=14, do_ds=False)
+        x = jnp.zeros((1, 64, 128, 128, 1), jnp.bfloat16)
+        reps = 20
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
 
     saved = {k: os.environ.get(k) for k in KNOBS}
@@ -88,7 +106,7 @@ def main():
         try:
             # fresh lambda -> fresh trace -> env knobs re-read
             r = latency_bench_scan(lambda v, x: model.apply(v, x),
-                                   (variables, x), reps=20, rounds=2)
+                                   (variables, x), reps=reps, rounds=2)
             return r["mean_ms"]
         finally:
             for k, v in saved.items():
@@ -107,8 +125,11 @@ def main():
                   f"(wall {time.time()-t0:.0f}s)  env={env}",
                   file=sys.stderr, flush=True)
 
+    proto = ("latency_bench_scan reps=100 rounds=2, 224x224 bf16 (2D)"
+             if model_kind == "2d" else
+             "latency_bench_scan reps=20 rounds=2, 64x128x128 bf16")
     report = {
-        "protocol": "latency_bench_scan reps=20 rounds=2, 64x128x128 bf16",
+        "protocol": proto,
         "configs": {name: {"passes_ms": results[name],
                            "min_ms": min(results[name]),
                            "env": env}

@@ -107,6 +107,10 @@ def capture_offset_stats(model_folder: Path, patch, num_classes, case_vol):
             if ckpt.exists("model_final_checkpoint") else "model_latest")
     state, _ = ckpt.load(name, None)
     variables = {"params": state["params"]}
+    if state.get("batch_stats"):
+        # the 3D blocks carry a batch_stats collection (UnetResBlock
+        # batch norm); apply() without it raises ScopeCollectionNotFound
+        variables["batch_stats"] = state["batch_stats"]
     x = jnp.asarray(case_vol[None, :patch[0], :patch[1], :patch[2], None])
 
     def is_offset(mdl, _method):

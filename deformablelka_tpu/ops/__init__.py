@@ -53,13 +53,16 @@ def deform_impl(name: str):
 def train_impl() -> str:
     """Implementation for training programs (see `deform_impl`).
 
-    Default 'hybridw' = hybrid with the XLA-window fast branch — the
-    exact program measured at 1.87 s/step (PERF.md). Inference's
-    'hybrid' default now takes the pallas-v3 fast branch where
-    eligible; training stays on the window branch because the pallas
-    custom-VJP path inside value_and_grad previously crashed the
-    remote TPU compile helper (PERF.md "Fast-mode training")."""
-    return _os.environ.get("DLKA_DEFORM_IMPL_TRAIN", "hybridw")
+    Default 'hybrid' since round 4: the pallas forward inside
+    value_and_grad no longer crashes the remote compiler (re-probed
+    2026-08-19, benchmarks/probe_train_r4.py repro: grad of
+    DeformConvPack3d compiles at all stage shapes) and the flagship
+    step measures 3.404 s vs 3.565 for 'hybridw' (same-session matrix,
+    identical loss to 4 decimals). The backward is unchanged either
+    way — the pallas custom VJP delegates to the scatter-free window
+    backward. DLKA_DEFORM_IMPL_TRAIN=hybridw/gather are the escape
+    hatches."""
+    return _os.environ.get("DLKA_DEFORM_IMPL_TRAIN", "hybrid")
 
 
 def _impl() -> str:
@@ -100,10 +103,25 @@ def deform_conv2d(x, offset, w, bias=None, *, stride=1, padding=0,
     if impl in ("hybrid", "hybridw") and tuple(_t(stride, 2)) == (1, 1):
         import jax as _jax
         import jax.numpy as _jnp
+        from deformablelka_tpu.ops.pallas.deform2d_kernel import (
+            deform_dw_conv2d_pallas, pallas2d_supported)
         R = HYBRID_RADIUS
+        # 2D fast-branch kernel: the pallas dw kernel where supported.
+        # Gated opt-in (DLKA_HYBRID_FAST_2D=pallas) until the 2D
+        # end-to-end gate_model_ab A/B decides the default — the r3
+        # verdict's open item 4 (2D stalled at 5.9 ms).
+        fast_pref = _os.environ.get("DLKA_HYBRID_FAST_2D", "window")
+        use_pallas = (impl == "hybrid" and fast_pref == "pallas"
+                      and pallas2d_supported(
+                          w.shape, stride, _t(padding, 2), dilation,
+                          groups, x.shape[-1], x.shape[1:3]))
+        dl2 = _t(dilation, 2)[0]
 
         def fast(ops):
             x, offset, w = ops
+            if use_pallas:
+                return deform_dw_conv2d_pallas(x, offset, w, R,
+                                               dl2).astype(x.dtype)
             return deform_conv2d_window(
                 x, offset, w, None, stride=stride, padding=padding,
                 dilation=dilation, groups=groups,
