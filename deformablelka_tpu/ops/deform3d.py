@@ -414,6 +414,20 @@ def _window_core_bwd(stride, padding, dilation, groups, radius, res, g):
         dz = jnp.zeros((B, Do, Ho, Wo), compute_dtype)
         dy = jnp.zeros((B, Do, Ho, Wo), compute_dtype)
         dxo = jnp.zeros((B, Do, Ho, Wo), compute_dtype)
+        # dx push form, RMW-free inner loop: the original version did a
+        # dynamic_slice + dynamic_update_slice of the full padded
+        # accumulator PER WINDOW TERM — span³·K serialized full-array
+        # HBM round-trips, measured at 972 ms for ONE stage-0
+        # DeformConvPack3d grad (B=2 32³ C32; probe_train_bwd_r4,
+        # 2026-08-19) vs 0.40 s for the entire non-deform train step.
+        # Each term's contribution dx(q) += wgt(p)·dsamp(p) at
+        # q = p + tap + s instead becomes a STATICALLY-padded array
+        # (s is a Python int; only the tap shift is traced), the 27
+        # pads tree-add into one per-tap canvas T (pure fusable
+        # elementwise work), and the accumulator sees ONE dynamic
+        # read-modify-write per tap instead of span³.
+        T = jnp.zeros((B, Do + 2 * radius, Ho + 2 * radius,
+                       Wo + 2 * radius, C), compute_dtype)
         for iz in range(span):
             for iy in range(span):
                 for ix in range(span):
@@ -431,12 +445,19 @@ def _window_core_bwd(stride, padding, dilation, groups, radius, res, g):
                     dz = dz + (dhz[iz] * hy[iy] * hx[ix]) * t
                     dy = dy + (hz[iz] * dhy[iy] * hx[ix]) * t
                     dxo = dxo + (hz[iz] * hy[iy] * dhx[ix]) * t
-                    # dx: windowed add into the padded accumulator
+                    # dx: static pad to window position (iz, iy, ix)
                     u = wgt[..., None] * dsamp
-                    cur = jax.lax.dynamic_slice(
-                        dxp, start, (B, Do, Ho, Wo, C))
-                    dxp = jax.lax.dynamic_update_slice(dxp, cur + u,
-                                                       start)
+                    T = T + jnp.pad(
+                        u, ((0, 0),
+                            (iz, 2 * radius - iz),
+                            (iy, 2 * radius - iy),
+                            (ix, 2 * radius - ix),
+                            (0, 0)))
+        tstart = (0, lo + tap[0] - radius, lo + tap[1] - radius,
+                  lo + tap[2] - radius, 0)
+        tsize = (B, Do + 2 * radius, Ho + 2 * radius, Wo + 2 * radius, C)
+        cur = jax.lax.dynamic_slice(dxp, tstart, tsize)
+        dxp = jax.lax.dynamic_update_slice(dxp, cur + T, tstart)
         if depthwise:
             dw_k = jnp.sum(g * samp, axis=(0, 1, 2, 3))
         else:
