@@ -57,7 +57,10 @@ def _kernel_v5s(off_ref, xt_ref, w_ref, out_ref, *, TZ, TY, TX, C, R, m,
     wide = (TZ, TY, TX, F * C)
 
     def splat(i):
-        return jnp.broadcast_to(off_ref[i], wide)
+        # off_ref: (TZ, TY, TX, n_hat) — planes LANE-packed; static lane
+        # slice + lane broadcast (both Mosaic-legal; the sublane-folded
+        # and trailing-1 5-D layouts HTTP-500, bisected 2026-08-19)
+        return jnp.broadcast_to(off_ref[:, :, :, i:i + 1], wide)
 
     lane_g = jax.lax.broadcasted_iota(jnp.int32, wide, 3) // C
     if n_hat == 3:
@@ -143,8 +146,8 @@ def _forward_v5(x, offset, w, radius, variant):
     kern = functools.partial(_kernel_v5s, TZ=TZ, TY=TY, TX=TX, C=C, R=R,
                              m=m, F=F, n_hat=n_hat)
     o = planes.reshape(B, 27, n_hat, n_z, TZ, n_y, TY, n_x, TX)
-    o = jnp.transpose(o, (1, 0, 3, 5, 7, 2, 4, 6, 8))
-    o = o.reshape(27 * nbt * n_hat, TZ, TY, TX)[..., None]
+    o = jnp.transpose(o, (1, 0, 3, 5, 7, 4, 6, 8, 2))  # planes last
+    o = o.reshape(27 * nbt * TZ, TY, TX, n_hat)
     tiles = jax.vmap(
         lambda v: _make_tiles(v, D, H, W, TZ, TY, TX, m))(xp4)
     tiles = tiles.reshape(nbt * (TZ + 2 * m), TY + 2 * m,
@@ -153,8 +156,8 @@ def _forward_v5(x, offset, w, radius, variant):
         kern,
         grid=(nbt, 27),
         in_specs=[
-            pl.BlockSpec((n_hat, TZ, TY, TX, 1),
-                         lambda t, k, nbt=nbt: (k * nbt + t, 0, 0, 0, 0),
+            pl.BlockSpec((TZ, TY, TX, n_hat),
+                         lambda t, k, nbt=nbt: (k * nbt + t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TZ + 2 * m, TY + 2 * m, TX + 2 * m, F * C),
                          lambda t, k: (t, 0, 0, 0),

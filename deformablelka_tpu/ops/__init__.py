@@ -173,9 +173,13 @@ def deform_conv3d(x, offset, w, bias=None, *, stride=1, padding=0,
         # 'hybridw' (the training default, ops.train_impl) and
         # DLKA_HYBRID_FAST=window pin the window branch instead.
         fast_pref = _os.environ.get("DLKA_HYBRID_FAST", "pallas")
+        # NOT a version allow-list: r3 shipped a silent regression when
+        # this gate said == "v3" and the v4 dispatcher stopped matching.
+        # Any fused-dot kernel (v3+) is a valid fast branch; only the
+        # v1/v2 external-GEMM kernels are excluded.
         use_pallas = (impl == "hybrid" and fast_pref == "pallas"
-                      and _kernel_version(R, x.shape[-1]) in
-                      ("v3", "v4", "v4w")
+                      and _kernel_version(R, x.shape[-1]) not in
+                      ("v1", "v2")
                       and pallas_supported(
                           kd, kh, kw, stride, padding, dilation, groups,
                           x.shape[-1], w.shape[-1],

@@ -534,6 +534,122 @@ def _sample_dot_kernel_v4w(off_ref, xt_ref, w_ref, out_ref, *, TZ, TY,
         out_ref[...] = out_ref[...] + contrib
 
 
+def _sample_dot_kernel_v5(off_ref, xt_ref, w_ref, out_ref, *, TZ, TY,
+                          TX, C, R, m, F):
+    """v5 = v4 with the offset planes LANE-packed.
+
+    v4's remaining hat-build cost is the sublane→lane RELAYOUT hidden in
+    `broadcast_to(off_ref[i][..., None], wide)` — off_ref is
+    (3, TZ, TY, TX) so TX lives in lanes and the broadcast must move it
+    to sublanes first (a transpose-class Mosaic op) before splatting.
+    v5 receives offsets as (TZ, TY, TX, 3) — planes in the LANE dim —
+    so `off_ref[:, :, :, i:i+1]` is a static lane slice and the splat
+    to F·C lanes is a pure lane broadcast. Bit-exact vs v4; stage-0
+    in-program 2.21 → 1.94 ms (probe_deform_v5s, 2026-08-19). The
+    sublane-folded (n_hat·TZ, TY, TX, 1) and 5-D (n_hat, TZ, TY, TX, 1)
+    layouts both HTTP-500 the remote compiler (bisected same session;
+    the minimal splat pieces compile — the combination doesn't).
+    """
+    span = 2 * R + 1
+    k = pl.program_id(1)
+    bz = k // 9 - 1
+    by = (k // 3) % 3 - 1
+    bx = k % 3 - 1
+    wide = (TZ, TY, TX, F * C)
+
+    def splat(i):
+        return jnp.broadcast_to(
+            jnp.clip(off_ref[:, :, :, i:i + 1], -R, R), wide)
+
+    lane_g = jax.lax.broadcasted_iota(jnp.int32, wide, 3) // C
+    s_of_lane = lane_g.astype(jnp.float32) - R
+    hxp = jnp.maximum(0.0, 1.0 - jnp.abs(splat(2) - s_of_lane))
+    hxp = jnp.where(lane_g < span, hxp, 0.0)
+    hz = _relu_hats(splat(0), R)
+    hy = _relu_hats(splat(1), R)
+
+    acc = jnp.zeros(wide, jnp.float32)
+    for sz in range(span):
+        t = jnp.zeros(wide, jnp.float32)
+        for sy in range(span):
+            xs = xt_ref[pl.ds(m + bz + sz - R, TZ),
+                        pl.ds(m + by + sy - R, TY),
+                        pl.ds(m + bx - R, TX), :]
+            t = t + hy[sy] * xs
+        acc = acc + hz[sz] * t
+
+    sample = hxp * acc
+    samp = sample[..., 0:C]
+    for g in range(1, F):
+        samp = samp + sample[..., g * C:(g + 1) * C]
+    contrib = jax.lax.dot_general(
+        samp.reshape(TZ * TY * TX, C), w_ref[0],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).reshape(TZ, TY, TX, C)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[...] = contrib
+
+    @pl.when(k > 0)
+    def _():
+        out_ref[...] = out_ref[...] + contrib
+
+
+def _sample_dot_kernel_v5w(off_ref, xt_ref, w_ref, out_ref, *, TZ, TY,
+                           TX, C, R, m, F):
+    """v5w: the v4w multi-pack kernel with v5's lane-packed offsets."""
+    span = 2 * R + 1
+    n_packs = (span + F - 1) // F
+    k = pl.program_id(1)
+    bz = k // 9 - 1
+    by = (k // 3) % 3 - 1
+    bx = k % 3 - 1
+    wide = (TZ, TY, TX, F * C)
+
+    def splat(i):
+        return jnp.broadcast_to(
+            jnp.clip(off_ref[:, :, :, i:i + 1], -R, R), wide)
+
+    lane_g = jax.lax.broadcasted_iota(jnp.int32, wide, 3) // C
+    dx = splat(2)
+    hz = _relu_hats(splat(0), R)
+    hy = _relu_hats(splat(1), R)
+
+    sample = None
+    for p in range(n_packs):
+        s_of_lane = (lane_g + p * F).astype(jnp.float32) - R
+        hxp = jnp.maximum(0.0, 1.0 - jnp.abs(dx - s_of_lane))
+        hxp = jnp.where(lane_g + p * F < span, hxp, 0.0)
+        acc = jnp.zeros(wide, jnp.float32)
+        for sz in range(span):
+            t = jnp.zeros(wide, jnp.float32)
+            for sy in range(span):
+                xs = xt_ref[pl.ds(m + bz + sz - R, TZ),
+                            pl.ds(m + by + sy - R, TY),
+                            pl.ds(m + bx + p * F - R, TX), :]
+                t = t + hy[sy] * xs
+            acc = acc + hz[sz] * t
+        contrib = hxp * acc
+        sample = contrib if sample is None else sample + contrib
+
+    samp = sample[..., 0:C]
+    for g in range(1, F):
+        samp = samp + sample[..., g * C:(g + 1) * C]
+    contrib = jax.lax.dot_general(
+        samp.reshape(TZ * TY * TX, C), w_ref[0],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).reshape(TZ, TY, TX, C)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[...] = contrib
+
+    @pl.when(k > 0)
+    def _():
+        out_ref[...] = out_ref[...] + contrib
+
+
 def _forward_v3(x, offset, w, radius: int, interpret: bool = False,
                 kern_fn=_sample_dot_kernel_v3):
     """Tap-inner + fused-dot forward (see `_sample_dot_kernel_v3`).
@@ -544,8 +660,10 @@ def _forward_v3(x, offset, w, radius: int, interpret: bool = False,
     m = R + 1
     F = next(f for f in (4, 2, 1) if f * C <= 128)
     span = 2 * R + 1
-    assert span <= F or kern_fn is _sample_dot_kernel_v4w, \
-        "v3/v4 require a single x-pack (R=1, C<=32); use v4w beyond"
+    lane_off = kern_fn in (_sample_dot_kernel_v5, _sample_dot_kernel_v5w)
+    assert (span <= F
+            or kern_fn in (_sample_dot_kernel_v4w, _sample_dot_kernel_v5w)), \
+        "v3/v4/v5 require a single x-pack (R=1, C<=32); use v4w/v5w beyond"
     TZ = _tile_of(D, MAX_TILE_Z) if D > MAX_TILE else _tile_of(D)
     TY, TX = _tile_of(H), _tile_of(W)
     n_z, n_y, n_x = D // TZ, H // TY, W // TX
@@ -570,10 +688,23 @@ def _forward_v3(x, offset, w, radius: int, interpret: bool = False,
     # consecutive taps reuse the VMEM-resident x-tile.
     nbt = B * n_t
     # offsets → (27, B, n_t, 3, TZ, TY, TX) → flat dim0 so block
-    # (k, t=b·n_t+tt) lives at row k·nbt + t
+    # (k, t=b·n_t+tt) lives at row k·nbt + t. v5-class kernels take the
+    # planes LANE-packed instead: (27·nbt·TZ, TY, TX, 3).
     o = off_all.reshape(B, 27, 3, n_z, TZ, n_y, TY, n_x, TX)
-    o = jnp.transpose(o, (1, 0, 3, 5, 7, 2, 4, 6, 8))
-    o = o.reshape(27 * nbt * 3, TZ, TY, TX)
+    if lane_off:
+        o = jnp.transpose(o, (1, 0, 3, 5, 7, 4, 6, 8, 2))
+        o = o.reshape(27 * nbt * TZ, TY, TX, 3)
+        off_spec = pl.BlockSpec(
+            (TZ, TY, TX, 3),
+            lambda t, k, nbt=nbt: (k * nbt + t, 0, 0, 0),
+            memory_space=pltpu.VMEM)
+    else:
+        o = jnp.transpose(o, (1, 0, 3, 5, 7, 2, 4, 6, 8))
+        o = o.reshape(27 * nbt * 3, TZ, TY, TX)
+        off_spec = pl.BlockSpec(
+            (3, TZ, TY, TX),
+            lambda t, k, nbt=nbt: (k * nbt + t, 0, 0, 0),
+            memory_space=pltpu.VMEM)
     tiles = jax.vmap(
         lambda v: _make_tiles(v, D, H, W, TZ, TY, TX, m))(xp4)
     tiles = tiles.reshape(nbt * (TZ + 2 * m), TY + 2 * m,
@@ -582,9 +713,7 @@ def _forward_v3(x, offset, w, radius: int, interpret: bool = False,
         kern,
         grid=(nbt, 27),
         in_specs=[
-            pl.BlockSpec((3, TZ, TY, TX),
-                         lambda t, k, nbt=nbt: (k * nbt + t, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            off_spec,
             pl.BlockSpec((TZ + 2 * m, TY + 2 * m, TX + 2 * m,
                           F * C),
                          lambda t, k: (t, 0, 0, 0),
@@ -618,12 +747,32 @@ def _forward_v4w(x, offset, w, radius: int, interpret: bool = False):
                        kern_fn=_sample_dot_kernel_v4w)
 
 
+def _forward_v5(x, offset, w, radius: int, interpret: bool = False):
+    return _forward_v3(x, offset, w, radius, interpret,
+                       kern_fn=_sample_dot_kernel_v5)
+
+
+def _forward_v5w(x, offset, w, radius: int, interpret: bool = False):
+    return _forward_v3(x, offset, w, radius, interpret,
+                       kern_fn=_sample_dot_kernel_v5w)
+
+
 def _kernel_version(radius: int, C: int) -> str:
     import os
     v = os.environ.get("DLKA_PALLAS_KERNEL", "auto")
-    if v in ("v1", "v2", "v3", "v4", "v4w"):
+    if v in ("v1", "v2", "v3", "v4", "v4w", "v5", "v5w"):
         return v
     F = next((f for f in (4, 2, 1) if f * C <= 128), 0)
+    if v == "auto5":
+        # v5/v5w (lane-packed offsets): the KERNEL wins isolated
+        # (stage-0 1.94 vs 2.21 ms, bit-exact) but the XLA-side
+        # planes-last offset transpose costs more than the kernel
+        # saves — model-level gate 2026-08-19: 65.8 vs 64.3 ms/fwd,
+        # two interleaved passes. Opt-in until the transpose is free
+        # (e.g. offset conv emitting planes-last directly).
+        if 2 * radius + 1 <= F:
+            return "v5"
+        return "v5w" if radius == 1 and C <= MAX_CHANNELS else "v2"
     if 2 * radius + 1 <= F:
         return "v4"
     return "v4w" if radius == 1 and C <= MAX_CHANNELS else "v2"
@@ -633,6 +782,10 @@ def _dispatch(x, offset, w, radius, interpret):
     v = _kernel_version(radius, x.shape[-1])
     if v == "v1":
         return _forward(x, offset, w, radius, interpret)
+    if v == "v5w":
+        return _forward_v5w(x, offset, w, radius, interpret)
+    if v == "v5":
+        return _forward_v5(x, offset, w, radius, interpret)
     if v == "v4w":
         return _forward_v4w(x, offset, w, radius, interpret)
     if v == "v4":

@@ -243,7 +243,7 @@ def test_pallas_deform_v3_interpret_parity():
     the R=1 clip is lossless and parity is exact sampling semantics,
     not approximation."""
     from deformablelka_tpu.ops.pallas.deform3d_kernel import (
-        _forward_v3, _forward_v4, _kernel_version)
+        _forward_v3, _forward_v4, _forward_v5, _kernel_version)
     from deformablelka_tpu.ops import deform_conv3d_gather
 
     assert _kernel_version(1, 32) == "v4"
@@ -260,7 +260,7 @@ def test_pallas_deform_v3_interpret_parity():
         w = jnp.asarray(rng.randn(3, 3, 3, C, C) * 0.1, jnp.float32)
         ref = deform_conv3d_gather(x, off, w, None, stride=1, padding=1,
                                    dilation=1, groups=1)
-        for fwd in (_forward_v3, _forward_v4):
+        for fwd in (_forward_v3, _forward_v4, _forward_v5):
             out = fwd(x, off, w, 1, True)
             np.testing.assert_allclose(out, ref, atol=5e-5, rtol=5e-5)
 
@@ -269,7 +269,8 @@ def test_pallas_deform_v4w_interpret_parity():
     """The v4w kernel (multi-pack x-window for C>32 — the hybrid fast
     branch at stages 1-2: 16^3 C64 / 8^3 C128) vs the gather reference
     in interpret mode, at C values forcing n_packs=2 and 3."""
-    from deformablelka_tpu.ops.pallas.deform3d_kernel import _forward_v4w
+    from deformablelka_tpu.ops.pallas.deform3d_kernel import (
+        _forward_v4w, _forward_v5w)
     from deformablelka_tpu.ops import deform_conv3d_gather
 
     rng = np.random.RandomState(1)
@@ -280,8 +281,9 @@ def test_pallas_deform_v4w_interpret_parity():
         w = jnp.asarray(rng.randn(3, 3, 3, C, C) * 0.05, jnp.float32)
         ref = deform_conv3d_gather(x, off, w, None, stride=1, padding=1,
                                    dilation=1, groups=1)
-        out = _forward_v4w(x, off, w, 1, True)
-        np.testing.assert_allclose(out, ref, atol=5e-4, rtol=5e-4)
+        for fwd in (_forward_v4w, _forward_v5w):
+            out = fwd(x, off, w, 1, True)
+            np.testing.assert_allclose(out, ref, atol=5e-4, rtol=5e-4)
 
 
 def test_slab_vs_taa_gather_parity(monkeypatch):
