@@ -226,8 +226,9 @@ def conv3d(x, w, *, stride=1, padding="same", dilation=1, groups: int = 1,
             dw_impl = "lax"
         if dw_impl == "zdecomp":
             # dilated depthwise with 'same' extent -> per-z-tap 2D
-            # convs. Reached by the 'auto' extent>min-dim heuristic
-            # above or explicitly via DLKA_DWCONV_IMPL=zdecomp. History:
+            # convs. Reached only explicitly via
+            # DLKA_DWCONV_IMPL=zdecomp (the r3 'auto' heuristic that
+            # routed here was reverted — see above). History:
             # 9× faster ISOLATED (85→9 ms at 32×64×64 C=32) but 2×
             # slower in the r1 full flagship forward (580→1187 ms) — the
             # k per-tap conv outputs materialize in HBM. Any default

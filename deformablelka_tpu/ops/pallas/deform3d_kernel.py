@@ -650,8 +650,129 @@ def _sample_dot_kernel_v5w(off_ref, xt_ref, w_ref, out_ref, *, TZ, TY,
         out_ref[...] = out_ref[...] + contrib
 
 
+def _sample_dot_kernel_v5x(off_ref, xt_ref, w_ref, out_ref, *, TZ, TY,
+                           TX, C, R, m, F):
+    """v5x: v5's full-width-hat window with the offsets consumed IN
+    PLACE — off_ref is the tile's WHOLE (TZ, TY, TX, 81) offset-conv
+    output (channel 3k+i = tap k, axis i) and tap k's three planes are
+    extracted by a masked LANE reduction (sum over lanes where
+    lane == 3k+i). Mosaic rejects a (TZ, TY, TX, 3) block carved at
+    lane offset 3k (last block dim must be 128-divisible or whole),
+    so the whole-dim block + in-kernel extraction is the legal form;
+    the BlockSpec index map ignores k, so the block stays VMEM-
+    resident across the 27 tap steps like the x-tile. Removes the
+    XLA-side offset relayout that made v4/v5 pay ~0.3-0.5 ms per call
+    (the v5 model-level loss, PERF.md round-4 v5 gate)."""
+    span = 2 * R + 1
+    k = pl.program_id(1)
+    bz = k // 9 - 1
+    by = (k // 3) % 3 - 1
+    bx = k % 3 - 1
+    wide = (TZ, TY, TX, F * C)
+
+    ob = off_ref[...]
+    lane81 = jax.lax.broadcasted_iota(jnp.int32, ob.shape, 3)
+
+    def splat(i):
+        d = jnp.sum(jnp.where(lane81 == 3 * k + i, ob, 0.0),
+                    axis=-1, keepdims=True)
+        return jnp.broadcast_to(jnp.clip(d, -R, R), wide)
+
+    lane_g = jax.lax.broadcasted_iota(jnp.int32, wide, 3) // C
+    s_of_lane = lane_g.astype(jnp.float32) - R
+    hxp = jnp.maximum(0.0, 1.0 - jnp.abs(splat(2) - s_of_lane))
+    hxp = jnp.where(lane_g < span, hxp, 0.0)
+    hz = _relu_hats(splat(0), R)
+    hy = _relu_hats(splat(1), R)
+
+    acc = jnp.zeros(wide, jnp.float32)
+    for sz in range(span):
+        t = jnp.zeros(wide, jnp.float32)
+        for sy in range(span):
+            xs = xt_ref[pl.ds(m + bz + sz - R, TZ),
+                        pl.ds(m + by + sy - R, TY),
+                        pl.ds(m + bx - R, TX), :]
+            t = t + hy[sy] * xs
+        acc = acc + hz[sz] * t
+
+    sample = hxp * acc
+    samp = sample[..., 0:C]
+    for g in range(1, F):
+        samp = samp + sample[..., g * C:(g + 1) * C]
+    contrib = jax.lax.dot_general(
+        samp.reshape(TZ * TY * TX, C), w_ref[0],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).reshape(TZ, TY, TX, C)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[...] = contrib
+
+    @pl.when(k > 0)
+    def _():
+        out_ref[...] = out_ref[...] + contrib
+
+
+def _sample_dot_kernel_v5xw(off_ref, xt_ref, w_ref, out_ref, *, TZ, TY,
+                            TX, C, R, m, F):
+    """v5xw: the v5w multi-pack kernel with v5x's in-place offsets."""
+    span = 2 * R + 1
+    n_packs = (span + F - 1) // F
+    k = pl.program_id(1)
+    bz = k // 9 - 1
+    by = (k // 3) % 3 - 1
+    bx = k % 3 - 1
+    wide = (TZ, TY, TX, F * C)
+
+    ob = off_ref[...]
+    lane81 = jax.lax.broadcasted_iota(jnp.int32, ob.shape, 3)
+
+    def splat(i):
+        d = jnp.sum(jnp.where(lane81 == 3 * k + i, ob, 0.0),
+                    axis=-1, keepdims=True)
+        return jnp.broadcast_to(jnp.clip(d, -R, R), wide)
+
+    lane_g = jax.lax.broadcasted_iota(jnp.int32, wide, 3) // C
+    dx = splat(2)
+    hz = _relu_hats(splat(0), R)
+    hy = _relu_hats(splat(1), R)
+
+    sample = None
+    for p in range(n_packs):
+        s_of_lane = (lane_g + p * F).astype(jnp.float32) - R
+        hxp = jnp.maximum(0.0, 1.0 - jnp.abs(dx - s_of_lane))
+        hxp = jnp.where(lane_g + p * F < span, hxp, 0.0)
+        acc = jnp.zeros(wide, jnp.float32)
+        for sz in range(span):
+            t = jnp.zeros(wide, jnp.float32)
+            for sy in range(span):
+                xs = xt_ref[pl.ds(m + bz + sz - R, TZ),
+                            pl.ds(m + by + sy - R, TY),
+                            pl.ds(m + bx + p * F - R, TX), :]
+                t = t + hy[sy] * xs
+            acc = acc + hz[sz] * t
+        contrib = hxp * acc
+        sample = contrib if sample is None else sample + contrib
+
+    samp = sample[..., 0:C]
+    for g in range(1, F):
+        samp = samp + sample[..., g * C:(g + 1) * C]
+    contrib = jax.lax.dot_general(
+        samp.reshape(TZ * TY * TX, C), w_ref[0],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).reshape(TZ, TY, TX, C)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[...] = contrib
+
+    @pl.when(k > 0)
+    def _():
+        out_ref[...] = out_ref[...] + contrib
+
+
 def _forward_v3(x, offset, w, radius: int, interpret: bool = False,
-                kern_fn=_sample_dot_kernel_v3):
+                kern_fn=_sample_dot_kernel_v3, off_inplace: bool = False):
     """Tap-inner + fused-dot forward (see `_sample_dot_kernel_v3`).
 
     x: (B, D, H, W, C); offset: (B, D, H, W, 81); w: (3,3,3,C,C)."""
@@ -662,7 +783,8 @@ def _forward_v3(x, offset, w, radius: int, interpret: bool = False,
     span = 2 * R + 1
     lane_off = kern_fn in (_sample_dot_kernel_v5, _sample_dot_kernel_v5w)
     assert (span <= F
-            or kern_fn in (_sample_dot_kernel_v4w, _sample_dot_kernel_v5w)), \
+            or kern_fn in (_sample_dot_kernel_v4w, _sample_dot_kernel_v5w,
+                           _sample_dot_kernel_v5xw)), \
         "v3/v4/v5 require a single x-pack (R=1, C<=32); use v4w/v5w beyond"
     TZ = _tile_of(D, MAX_TILE_Z) if D > MAX_TILE else _tile_of(D)
     TY, TX = _tile_of(H), _tile_of(W)
@@ -674,9 +796,11 @@ def _forward_v3(x, offset, w, radius: int, interpret: bool = False,
     xp4 = jnp.concatenate(
         [jax.lax.slice_in_dim(xp, g, g + W + 2 * m, axis=3)
          for g in range(F)], axis=-1)
-    off_all = jnp.transpose(
-        offset.reshape(B, D, H, W, 27, 3),
-        (0, 4, 5, 1, 2, 3)).astype(jnp.float32)
+    off_all = None
+    if not off_inplace:
+        off_all = jnp.transpose(
+            offset.reshape(B, D, H, W, 27, 3),
+            (0, 4, 5, 1, 2, 3)).astype(jnp.float32)
     w_k3 = w.reshape(27, C, C).astype(jnp.float32)
     kern = functools.partial(kern_fn, TZ=TZ, TY=TY,
                              TX=TX, C=C, R=R, m=m, F=F)
@@ -690,8 +814,29 @@ def _forward_v3(x, offset, w, radius: int, interpret: bool = False,
     # offsets → (27, B, n_t, 3, TZ, TY, TX) → flat dim0 so block
     # (k, t=b·n_t+tt) lives at row k·nbt + t. v5-class kernels take the
     # planes LANE-packed instead: (27·nbt·TZ, TY, TX, 3).
-    o = off_all.reshape(B, 27, 3, n_z, TZ, n_y, TY, n_x, TX)
-    if lane_off:
+    if off_inplace:
+        # v5x: NO channel relayout at all. The offset conv's output
+        # already carries (tap, axis) packed in the minor dim
+        # (channel 3k+i = tap k, axis i — deform_conv.py:80-91 order);
+        # the BlockSpec carves tap k's (TZ, TY, TX, 3) block straight
+        # out of the 81-lane dim with index (t, 0, 0, k). Host-side
+        # prep is the same spatial tiling the x-tiles pay (identity
+        # when n_t == B == 1), so the v5 kernel's lane-packed layout
+        # becomes free — the model-level loss that kept v5 opt-in was
+        # exactly this transpose (PERF.md round-4 v5 gate).
+        o = offset.astype(jnp.float32).reshape(
+            B, n_z, TZ, n_y, TY, n_x, TX, 81)
+        o = jnp.transpose(o, (0, 1, 3, 5, 2, 4, 6, 7))
+        o = o.reshape(nbt * TZ, TY, TX, 81)
+        # whole-dim lane block (Mosaic rejects a 3-lane block at
+        # offset 3k); index map ignores k so the block is VMEM-
+        # resident across all 27 tap steps, like the x-tile.
+        off_spec = pl.BlockSpec(
+            (TZ, TY, TX, 81),
+            lambda t, k: (t, 0, 0, 0),
+            memory_space=pltpu.VMEM)
+    elif lane_off:
+        o = off_all.reshape(B, 27, 3, n_z, TZ, n_y, TY, n_x, TX)
         o = jnp.transpose(o, (1, 0, 3, 5, 7, 4, 6, 8, 2))
         o = o.reshape(27 * nbt * TZ, TY, TX, 3)
         off_spec = pl.BlockSpec(
@@ -699,6 +844,7 @@ def _forward_v3(x, offset, w, radius: int, interpret: bool = False,
             lambda t, k, nbt=nbt: (k * nbt + t, 0, 0, 0),
             memory_space=pltpu.VMEM)
     else:
+        o = off_all.reshape(B, 27, 3, n_z, TZ, n_y, TY, n_x, TX)
         o = jnp.transpose(o, (1, 0, 3, 5, 7, 2, 4, 6, 8))
         o = o.reshape(27 * nbt * 3, TZ, TY, TX)
         off_spec = pl.BlockSpec(
@@ -757,19 +903,44 @@ def _forward_v5w(x, offset, w, radius: int, interpret: bool = False):
                        kern_fn=_sample_dot_kernel_v5w)
 
 
+def _forward_v5x(x, offset, w, radius: int, interpret: bool = False):
+    return _forward_v3(x, offset, w, radius, interpret,
+                       kern_fn=_sample_dot_kernel_v5x, off_inplace=True)
+
+
+def _forward_v5xw(x, offset, w, radius: int, interpret: bool = False):
+    return _forward_v3(x, offset, w, radius, interpret,
+                       kern_fn=_sample_dot_kernel_v5xw, off_inplace=True)
+
+
 def _kernel_version(radius: int, C: int) -> str:
     import os
     v = os.environ.get("DLKA_PALLAS_KERNEL", "auto")
-    if v in ("v1", "v2", "v3", "v4", "v4w", "v5", "v5w"):
+    if v in ("v1", "v2", "v3", "v4", "v4w", "v5", "v5w", "v5x", "v5xw"):
         return v
     F = next((f for f in (4, 2, 1) if f * C <= 128), 0)
+    if v in ("auto", "auto5x"):
+        # DEFAULT since round 4 (2026-08-19): v5x/v5xw — the v5
+        # full-width-hat kernel fed IN PLACE (whole-81-lane offset
+        # block per tile, tap planes extracted by a masked lane
+        # reduction in-kernel; the block spec ignores k so it stays
+        # VMEM-resident across taps). Removes the XLA-side offset
+        # relayout that made v4 pay ~0.3 ms and v5 lose at model
+        # level. Gate (benchmarks/gate_model_ab.py, two interleaved
+        # passes): flagship 64.2 (v4 auto) → 59.85 ms/fwd; op-level
+        # stage-1 v4w 0.446 → v5xw 0.045 ms; bit-exact parity vs v4
+        # on-device and vs the gather reference in interpret mode.
+        if 2 * radius + 1 <= F:
+            return "v5x"
+        return "v5xw" if radius == 1 and C <= MAX_CHANNELS else "v2"
     if v == "auto5":
         # v5/v5w (lane-packed offsets): the KERNEL wins isolated
         # (stage-0 1.94 vs 2.21 ms, bit-exact) but the XLA-side
         # planes-last offset transpose costs more than the kernel
         # saves — model-level gate 2026-08-19: 65.8 vs 64.3 ms/fwd,
-        # two interleaved passes. Opt-in until the transpose is free
-        # (e.g. offset conv emitting planes-last directly).
+        # two interleaved passes. Superseded by v5x (the 'auto'
+        # default), which gets the lane-packed layout without the
+        # transpose; kept for A/B reference.
         if 2 * radius + 1 <= F:
             return "v5"
         return "v5w" if radius == 1 and C <= MAX_CHANNELS else "v2"
@@ -782,6 +953,10 @@ def _dispatch(x, offset, w, radius, interpret):
     v = _kernel_version(radius, x.shape[-1])
     if v == "v1":
         return _forward(x, offset, w, radius, interpret)
+    if v == "v5xw":
+        return _forward_v5xw(x, offset, w, radius, interpret)
+    if v == "v5x":
+        return _forward_v5x(x, offset, w, radius, interpret)
     if v == "v5w":
         return _forward_v5w(x, offset, w, radius, interpret)
     if v == "v5":

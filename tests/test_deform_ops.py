@@ -243,13 +243,16 @@ def test_pallas_deform_v3_interpret_parity():
     the R=1 clip is lossless and parity is exact sampling semantics,
     not approximation."""
     from deformablelka_tpu.ops.pallas.deform3d_kernel import (
-        _forward_v3, _forward_v4, _forward_v5, _kernel_version)
+        _forward_v3, _forward_v4, _forward_v5, _forward_v5x,
+        _kernel_version)
     from deformablelka_tpu.ops import deform_conv3d_gather
 
-    assert _kernel_version(1, 32) == "v4"
+    # default since round 4: v5x (in-place offsets) — gate_model_ab
+    # 64.2 -> 59.85 ms/fwd, PERF.md round-4 entry
+    assert _kernel_version(1, 32) == "v5x"
     assert _kernel_version(2, 32) == "v2"
-    assert _kernel_version(1, 64) == "v4w"
-    assert _kernel_version(1, 128) == "v4w"
+    assert _kernel_version(1, 64) == "v5xw"
+    assert _kernel_version(1, 128) == "v5xw"
     assert _kernel_version(1, 256) == "v2"
 
     rng = np.random.RandomState(0)
@@ -260,7 +263,8 @@ def test_pallas_deform_v3_interpret_parity():
         w = jnp.asarray(rng.randn(3, 3, 3, C, C) * 0.1, jnp.float32)
         ref = deform_conv3d_gather(x, off, w, None, stride=1, padding=1,
                                    dilation=1, groups=1)
-        for fwd in (_forward_v3, _forward_v4, _forward_v5):
+        for fwd in (_forward_v3, _forward_v4, _forward_v5,
+                    _forward_v5x):
             out = fwd(x, off, w, 1, True)
             np.testing.assert_allclose(out, ref, atol=5e-5, rtol=5e-5)
 
@@ -270,7 +274,7 @@ def test_pallas_deform_v4w_interpret_parity():
     branch at stages 1-2: 16^3 C64 / 8^3 C128) vs the gather reference
     in interpret mode, at C values forcing n_packs=2 and 3."""
     from deformablelka_tpu.ops.pallas.deform3d_kernel import (
-        _forward_v4w, _forward_v5w)
+        _forward_v4w, _forward_v5w, _forward_v5xw)
     from deformablelka_tpu.ops import deform_conv3d_gather
 
     rng = np.random.RandomState(1)
@@ -281,7 +285,7 @@ def test_pallas_deform_v4w_interpret_parity():
         w = jnp.asarray(rng.randn(3, 3, 3, C, C) * 0.05, jnp.float32)
         ref = deform_conv3d_gather(x, off, w, None, stride=1, padding=1,
                                    dilation=1, groups=1)
-        for fwd in (_forward_v4w, _forward_v5w):
+        for fwd in (_forward_v4w, _forward_v5w, _forward_v5xw):
             out = fwd(x, off, w, 1, True)
             np.testing.assert_allclose(out, ref, atol=5e-4, rtol=5e-4)
 

@@ -166,14 +166,14 @@ def test_train_step_pins_gather_impl(monkeypatch):
 
 
 def test_train_impl_default_is_hybrid(monkeypatch):
-    """Default training impl is hybridw (hybrid with the window fast
-    branch — the exact program measured at 1.87 s/step vs 25.2 gather,
-    PERF.md "Training step"), exact for any offsets via the lax.cond
-    dispatch. Inference's plain 'hybrid' takes the pallas-v3 fast
-    branch instead, which must stay out of value_and_grad (remote
-    compile crash, PERF.md "Fast-mode training")."""
+    """Default training impl is 'hybrid' since round 4: the pallas
+    forward inside value_and_grad no longer crashes the remote
+    compiler (probe_train_r4.py repro) and the flagship step measures
+    3.404 s vs 3.565 for 'hybridw' (PERF.md "Round 4: training-step
+    attack"). Exact for any offsets via the lax.cond dispatch;
+    DLKA_DEFORM_IMPL_TRAIN=hybridw/gather are the escape hatches."""
     from deformablelka_tpu.ops import train_impl
     monkeypatch.delenv("DLKA_DEFORM_IMPL_TRAIN", raising=False)
-    assert train_impl() == "hybridw"
+    assert train_impl() == "hybrid"
     monkeypatch.setenv("DLKA_DEFORM_IMPL_TRAIN", "gather")
     assert train_impl() == "gather"
