@@ -77,7 +77,7 @@ def dissect(sp, dim, tag):
                               name="c")(y)
             if w == "dw7d3":
                 return Conv3d(dim, 7, padding=9, groups=dim,
-                              kernel_dilation=3, name="c")(y)
+                              dilation=3, name="c")(y)
             if w == "dwpair":
                 return B3._dw_pair3d(y, dim)
             if w == "deform":
