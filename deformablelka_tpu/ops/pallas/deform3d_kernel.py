@@ -791,8 +791,19 @@ def _forward_v3(x, offset, w, radius: int, interpret: bool = False,
     n_z, n_y, n_x = D // TZ, H // TY, W // TX
     n_t = n_z * n_y * n_x
 
+    # x-tile dtype: f32. Re-probed 2026-08-20 on v5x/v5xw
+    # (benchmarks/probe_deform_bf16_r4.py): bf16 tile blocks STILL
+    # HTTP-500 the remote Mosaic compiler (the v1-era bisect holds),
+    # so the flag stays default-off. If the compiler ever accepts
+    # them, bf16 tiles would halve the xp4 materialisation and the
+    # per-call tile HBM read; in-kernel math stays f32 (bf16 xs
+    # promote against the f32 hats).
+    import os as _os
+    tile_dt = (jnp.bfloat16
+               if _os.environ.get("DLKA_PALLAS_BF16_TILES", "0") == "1"
+               else jnp.float32)
     xp = jnp.pad(x, ((0, 0), (m, m), (m, m), (m, m + F - 1), (0, 0))
-                 ).astype(jnp.float32)
+                 ).astype(tile_dt)
     xp4 = jnp.concatenate(
         [jax.lax.slice_in_dim(xp, g, g + W + 2 * m, axis=3)
          for g in range(F)], axis=-1)
@@ -874,7 +885,7 @@ def _forward_v3(x, offset, w, radius: int, interpret: bool = False,
                                        jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=tiles.size * 4 + o.size * 4,
+            bytes_accessed=tiles.size * tiles.dtype.itemsize + o.size * 4,
             transcendentals=0),
         interpret=interpret,
     )(o, tiles, w_k3)
