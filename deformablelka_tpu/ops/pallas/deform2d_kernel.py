@@ -131,7 +131,14 @@ def _forward(x, offset, w, radius: int, dil: int,
     off = off.reshape(B, 2 * K, n_y, TY, n_x, TX)
     off = jnp.transpose(off, (0, 2, 4, 1, 3, 5))
     off = off.reshape(B * n_t * 2 * K, TY, TX)
+    # Mosaic requires the sublane (2nd-to-last) block dim divisible by
+    # 8 unless it equals the array dim; with n_c > 1 the (K, CB) block
+    # sits in an (n_c*K, CB) array, so pad taps to a multiple of 8
+    # (padding rows are never read — the kernel loops k < K).
+    K_pad = K if n_c == 1 else -(-K // 8) * 8
     w_kc = w.reshape(K, C).astype(jnp.float32)
+    if K_pad != K:
+        w_kc = jnp.pad(w_kc, ((0, K_pad - K), (0, 0)))
     if n_c > 1:
         w_kc = jnp.concatenate(
             [w_kc[:, c * CB:(c + 1) * CB] for c in range(n_c)], axis=0)
@@ -145,7 +152,7 @@ def _forward(x, offset, w, radius: int, dil: int,
         in_specs=[
             pl.BlockSpec((2 * K, TY, TX), lambda c, t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, CB), lambda c, t: (c, 0),
+            pl.BlockSpec((K_pad, CB), lambda c, t: (c, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TY + 2 * m, TX + 2 * m, CB),
                          lambda c, t, n=B * n_t: (c * n + t, 0, 0),
