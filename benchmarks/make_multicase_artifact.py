@@ -51,10 +51,13 @@ def make_case(rs: np.random.RandomState, shape):
               for g, c, ri in zip(grids, cx, r)) <= 1.0
     seg[ell] = 1
     img[ell] += 1.5
-    b0 = [max(2, c - s // 8) for c, s in zip(cx, shape)]
+    # class-2 box lives in the low corner, clear of the central
+    # ellipsoid, so it keeps a learnable voxel mass (~(s//6)^3); the
+    # original center-anchored placement was carved to <25 voxels by
+    # the ellipsoid and class 2 was unlearnable (r4 artifact Dice 0.0)
+    b0 = [max(2, s // 8 + j) for s, j in zip(shape, rs.randint(-2, 3, 3))]
     b1 = [min(s - 2, bi + s // 6) for bi, s in zip(b0, shape)]
     box = tuple(slice(lo, hi) for lo, hi in zip(b0, b1))
-    # the box is carved where the ellipsoid is absent
     boxmask = np.zeros(shape, bool)
     boxmask[box] = True
     boxmask &= ~ell
