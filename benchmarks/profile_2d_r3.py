@@ -83,9 +83,8 @@ def main():
 
             def f(v, y, lyr=lyr):
                 out = lyr.apply(v, y)
-                return jnp.broadcast_to(
-                    jnp.mean(out.astype(jnp.float32), axis=-1,
-                             keepdims=True).astype(dt), y.shape)
+                s = jnp.mean(out.astype(jnp.float32))
+                return (y + s.astype(dt)).astype(dt)
             slope(f"decoder_{3 - i} ({dim}@{sp})", f, vi, xi)
         else:
             # x1 arrives token-shaped from the previous layer's expand
@@ -95,9 +94,8 @@ def main():
 
             def f(v, y, lyr=lyr, sk=sk):
                 out = lyr.apply(v, y, sk)
-                return jnp.broadcast_to(
-                    jnp.mean(out.astype(jnp.float32), axis=-1,
-                             keepdims=True).astype(dt), y.shape)
+                s = jnp.mean(out.astype(jnp.float32))
+                return (y + s.astype(dt)).astype(dt)
             slope(f"decoder_{3 - i} ({dim}@{sp}+skip)", f, vi, xi)
 
 
