@@ -14,6 +14,14 @@ Usage:
     python benchmarks/gate_model_ab.py --model=2d a: b:DLKA_X=1
         (2d = MaxViTDeformableLKAFormer batch-1 224², the bench.py
         secondary protocol, reps=100)
+    python benchmarks/gate_model_ab.py --model=bench a: b:DLKA_X=1
+        (bench = scan-mode SlidingWindowInference on a 2-tile volume —
+        the SAME while-nested program shape as bench.py's full
+        protocol. Round-4 lesson: v5x shipped as default after winning
+        the bare-forward gate, then VMEM-OOMed ONLY inside this
+        program; a dispatch-default change is gated on this mode too,
+        not just the bare-forward scan. A config that fails to
+        compile/run reports "FAIL: <err>" instead of a time.)
 
 Each config is measured as flagship device-only ms/fwd via
 `latency_bench_scan` (20 forwards inside ONE jit program, 2 rounds),
@@ -89,6 +97,12 @@ def main():
         model = MaxViTDeformableLKAFormer(num_classes=9)
         x = jnp.zeros((1, 224, 224, 1), jnp.bfloat16)
         reps = 100
+    elif model_kind == "bench":
+        from deformablelka_tpu.models.dlka_former import (
+            dlka_former_synapse)
+        model = dlka_former_synapse(num_classes=14, do_ds=False)
+        x = jnp.zeros((1, 64, 128, 128, 1), jnp.bfloat16)
+        reps = 0  # unused; bench mode times predict_segmentation
     else:
         from deformablelka_tpu.models.dlka_former import (
             dlka_former_synapse)
@@ -99,11 +113,33 @@ def main():
 
     saved = {k: os.environ.get(k) for k in KNOBS}
 
+    def _measure_bench_protocol():
+        """Compile + run scan-mode sliding-window on a 2-tile volume:
+        the while-nested program shape that the bare-forward gate does
+        NOT exercise (round-4 v5x OOMed only here). Returns s/vol."""
+        from deformablelka_tpu.inference.sliding_window import (
+            SlidingWindowInference)
+        sw = SlidingWindowInference(
+            lambda v, xx: model.apply(v, xx.astype(jnp.bfloat16)),
+            patch_size=(64, 128, 128), num_classes=14, step_size=0.5,
+            do_mirroring=True, loop_mode="scan",
+            input_dtype=jnp.bfloat16, tta_batch=4)
+        vol = np.random.RandomState(0).randn(64, 128, 192, 1).astype(
+            np.float32)
+        sw.predict_segmentation(variables, vol)  # compile + warm
+        t0 = time.time()
+        seg = sw.predict_segmentation(variables, vol)
+        dt = time.time() - t0
+        assert seg.shape == (64, 128, 192)
+        return dt * 1000.0
+
     def measure(env):
         for k in KNOBS:
             os.environ.pop(k, None)
         os.environ.update(env)
         try:
+            if model_kind == "bench":
+                return _measure_bench_protocol()
             # fresh lambda -> fresh trace -> env knobs re-read
             r = latency_bench_scan(lambda v, x: model.apply(v, x),
                                    (variables, x), reps=reps, rounds=2)
@@ -116,27 +152,41 @@ def main():
                     os.environ[k] = v
 
     results = {name: [] for name, _ in configs}
-    for pazz in range(2):
+    n_passes = 1 if model_kind == "bench" else 2
+    for pazz in range(n_passes):
         for name, env in configs:
             t0 = time.time()
-            ms = measure(env)
-            results[name].append(round(ms, 2))
-            print(f"[pass {pazz}] {name:<18} {ms:7.2f} ms/fwd  "
+            try:
+                ms = measure(env)
+            except Exception as e:
+                ms = f"FAIL: {type(e).__name__}: " \
+                     f"{str(e).splitlines()[0][:200]}"
+            results[name].append(
+                round(ms, 2) if isinstance(ms, float) else ms)
+            shown = f"{ms:7.2f} ms" if isinstance(ms, float) else ms
+            print(f"[pass {pazz}] {name:<18} {shown}  "
                   f"(wall {time.time()-t0:.0f}s)  env={env}",
                   file=sys.stderr, flush=True)
 
     proto = ("latency_bench_scan reps=100 rounds=2, 224x224 bf16 (2D)"
              if model_kind == "2d" else
+             "scan-mode SlidingWindowInference 64x128x192 2-tile vol,"
+             " x8 TTA (ms/vol)" if model_kind == "bench" else
              "latency_bench_scan reps=20 rounds=2, 64x128x128 bf16")
+    def _min(vals):
+        nums = [v for v in vals if isinstance(v, float)]
+        return min(nums) if nums else None
     report = {
         "protocol": proto,
         "configs": {name: {"passes_ms": results[name],
-                           "min_ms": min(results[name]),
+                           "min_ms": _min(results[name]),
                            "env": env}
                     for name, env in configs},
     }
-    best = min(report["configs"].items(), key=lambda kv: kv[1]["min_ms"])
-    report["best"] = best[0]
+    ok = [(n, c) for n, c in report["configs"].items()
+          if c["min_ms"] is not None]
+    report["best"] = (min(ok, key=lambda kv: kv[1]["min_ms"])[0]
+                      if ok else "ALL-FAILED")
     print(json.dumps(report))
 
 

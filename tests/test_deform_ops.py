@@ -247,13 +247,22 @@ def test_pallas_deform_v3_interpret_parity():
         _kernel_version)
     from deformablelka_tpu.ops import deform_conv3d_gather
 
-    # default since round 4: v5x (in-place offsets) — gate_model_ab
-    # 64.2 -> 59.85 ms/fwd, PERF.md round-4 entry
-    assert _kernel_version(1, 32) == "v5x"
+    # default since round 5: back to v4/v4w — the round-4 v5x default
+    # exceeded scoped VMEM inside the while-nested sliding-window scan
+    # program and broke the bench protocol (BENCH_r04; VERDICT r4
+    # weak #1). v5x/v5xw remain opt-in via auto5x.
+    assert _kernel_version(1, 32) == "v4"
     assert _kernel_version(2, 32) == "v2"
-    assert _kernel_version(1, 64) == "v5xw"
-    assert _kernel_version(1, 128) == "v5xw"
+    assert _kernel_version(1, 64) == "v4w"
+    assert _kernel_version(1, 128) == "v4w"
     assert _kernel_version(1, 256) == "v2"
+    import os as _os
+    _os.environ["DLKA_PALLAS_KERNEL"] = "auto5x"
+    try:
+        assert _kernel_version(1, 32) == "v5x"
+        assert _kernel_version(1, 64) == "v5xw"
+    finally:
+        del _os.environ["DLKA_PALLAS_KERNEL"]
 
     rng = np.random.RandomState(0)
     for (B, D, H, W, C) in ((1, 4, 6, 8, 4), (2, 8, 16, 8, 8)):
