@@ -377,6 +377,23 @@ def _window_core_bwd(stride, padding, dilation, groups, radius, res, g):
     x, offset, w = res
     kd, kh, kw, cin_g, cout = w.shape
     B, D, H, W, C = x.shape
+    # Pallas backward (DLKA_DEFORM_BWD=pallas): the same math with
+    # the x-tile, g-tile, hats and the padded dx canvas VMEM-resident
+    # per tile instead of 27×27 full-array HBM intermediates. Parity:
+    # tests/test_deform_ops.py::test_pallas_bwd_*.
+    import os as _os
+    if _os.environ.get("DLKA_DEFORM_BWD", "xla") == "pallas":
+        from deformablelka_tpu.ops.pallas.deform3d_bwd_kernel import (
+            bwd_supported, deform_conv3d_window_bwd_pallas)
+        if radius == 1 and bwd_supported(
+                kd, kh, kw, stride, padding, dilation, groups, C,
+                cout, spatial=(D, H, W)):
+            dx, doff, dw = deform_conv3d_window_bwd_pallas(
+                x, offset, w, g)
+            doff = jnp.where(
+                jnp.abs(offset.astype(jnp.float32)) <= radius,
+                doff, 0.0).astype(offset.dtype)
+            return dx, doff, dw
     Do, Ho, Wo = D, H, W
     K, taps, depthwise, cpg, opg, w_k, lo, hi = _window_prep(
         x, w, stride, padding, dilation, groups, radius)
