@@ -949,35 +949,21 @@ def _kernel_version(radius: int, C: int) -> str:
     if v in ("v1", "v2", "v3", "v4", "v4w", "v5", "v5w", "v5x", "v5xw"):
         return v
     F = next((f for f in (4, 2, 1) if f * C <= 128), 0)
-    if v in ("auto", "auto4"):
-        # DEFAULT since round 5 (2026-08-20): v4/v4w. Round 4 shipped
-        # v5x/v5xw as the default after a bare-forward model gate
-        # (64.2 → 59.85 ms/fwd), but v5x's whole-81-lane in-place
-        # offset block pushes the pallas_call's scoped VMEM 388 KB
-        # over the limit *inside the scan-mode sliding-window program*
-        # (nested lax.while loops leave less headroom than the bare
-        # scan the gate measured), so the full bench protocol failed
-        # to compile (BENCH_r04: 0.015 vol/s "ESTIMATED"). v4 runs the
-        # identical protocol at 0.2371 vol/s (judge-verified same
-        # session). Rule going forward: a dispatch-default change
-        # requires a full `python bench.py` pass, not just
-        # gate_model_ab's bare-forward scan. v5x/v5xw stays available
-        # via DLKA_PALLAS_KERNEL=auto5x for programs with headroom.
-        if 2 * radius + 1 <= F:
-            return "v4"
-        return "v4w" if radius == 1 and C <= MAX_CHANNELS else "v2"
-    if v == "auto5x":
-        # v5x/v5xw — the v5 full-width-hat kernel fed IN PLACE
-        # (whole-81-lane offset block per tile, tap planes extracted
-        # by a masked lane reduction in-kernel; the block spec ignores
-        # k so it stays VMEM-resident across taps). Removes the
-        # XLA-side offset relayout that made v4 pay ~0.3 ms and v5
-        # lose at model level. Gate (benchmarks/gate_model_ab.py, two
-        # interleaved passes): flagship 64.2 (v4 auto) → 59.85 ms/fwd;
-        # op-level stage-1 v4w 0.446 → v5xw 0.045 ms; bit-exact parity
-        # vs v4 on-device and vs gather reference in interpret mode.
-        # NOT the default: exceeds scoped VMEM inside the while-nested
-        # sliding-window scan program (see the `auto` comment above).
+    if v in ("auto", "auto5x"):
+        # DEFAULT since round 5 (2026-08-20), second attempt: v5x/v5xw
+        # — the v5 full-width-hat kernel fed IN PLACE (whole-81-lane
+        # offset block per tile, tap planes extracted by a masked lane
+        # reduction in-kernel; the block spec ignores k so it stays
+        # VMEM-resident across taps), with the pallas_call's scoped
+        # VMEM limit raised to 32 MB (DLKA_PALLAS_VMEM_LIMIT_MB). The
+        # round-4 flip of the same kernels shipped WITHOUT the limit
+        # raise and broke the bench protocol (16.38 MB scoped alloc vs
+        # the 16 MB default inside the while-nested sliding-window
+        # scan; BENCH_r04 0.015 vol/s "ESTIMATED"). This flip is gated
+        # on a full same-session `python bench.py` run per the new
+        # rule: 0.2459 vol/s vs 0.2358 for v4 (PERF.md round-5 entry);
+        # gate --model=bench 2-tile protocol 1186.6 vs 1251.7 ms/vol.
+        # v4/v4w remains available via DLKA_PALLAS_KERNEL=auto4.
         if 2 * radius + 1 <= F:
             return "v5x"
         return "v5xw" if radius == 1 and C <= MAX_CHANNELS else "v2"
@@ -1023,10 +1009,11 @@ def deform_conv3d_pallas(x, offset, w, radius: int = 2,
                          interpret: bool = False):
     """Deformable 3³ conv (stride 1, dil 1, pad 1, groups 1) on TPU.
     Kernel version per DLKA_PALLAS_KERNEL; see _kernel_version. The
-    `auto` default resolves to v4 when the window span fits one lane
-    pack (R=1, C≤32), v4w for R=1 with wider C, else v2. The faster
-    v5x/v5xw pair is opt-in via auto5x (it exceeds scoped VMEM inside
-    the while-nested sliding-window scan program)."""
+    `auto` default resolves to v5x when the window span fits one lane
+    pack (R=1, C≤32), v5xw for R=1 with wider C, else v2 — with the
+    call's scoped-VMEM limit raised (DLKA_PALLAS_VMEM_LIMIT_MB) so it
+    fits the while-nested sliding-window scan program. `auto4` pins
+    the previous v4/v4w defaults."""
     return _dispatch(x, offset, w, radius, interpret)
 
 

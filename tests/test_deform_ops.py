@@ -247,20 +247,22 @@ def test_pallas_deform_v3_interpret_parity():
         _kernel_version)
     from deformablelka_tpu.ops import deform_conv3d_gather
 
-    # default since round 5: back to v4/v4w — the round-4 v5x default
-    # exceeded scoped VMEM inside the while-nested sliding-window scan
-    # program and broke the bench protocol (BENCH_r04; VERDICT r4
-    # weak #1). v5x/v5xw remain opt-in via auto5x.
-    assert _kernel_version(1, 32) == "v4"
+    # default since round 5 (second attempt): v5x/v5xw with the
+    # scoped-VMEM limit raised (DLKA_PALLAS_VMEM_LIMIT_MB=32 for the
+    # in-place variants) so the call fits the while-nested
+    # sliding-window scan program that broke the round-4 flip.
+    # Gated on a full same-session bench.py run: 0.2459 vol/s vs
+    # 0.2358 for v4 (PERF.md round-5 entry). auto4 pins v4/v4w.
+    assert _kernel_version(1, 32) == "v5x"
     assert _kernel_version(2, 32) == "v2"
-    assert _kernel_version(1, 64) == "v4w"
-    assert _kernel_version(1, 128) == "v4w"
+    assert _kernel_version(1, 64) == "v5xw"
+    assert _kernel_version(1, 128) == "v5xw"
     assert _kernel_version(1, 256) == "v2"
     import os as _os
-    _os.environ["DLKA_PALLAS_KERNEL"] = "auto5x"
+    _os.environ["DLKA_PALLAS_KERNEL"] = "auto4"
     try:
-        assert _kernel_version(1, 32) == "v5x"
-        assert _kernel_version(1, 64) == "v5xw"
+        assert _kernel_version(1, 32) == "v4"
+        assert _kernel_version(1, 64) == "v4w"
     finally:
         del _os.environ["DLKA_PALLAS_KERNEL"]
 
