@@ -39,12 +39,24 @@ class PatchExpand(nn.Module):
 
 
 class FinalPatchExpand_X4(nn.Module):
-    """×4 pixel-shuffle upsample keeping the channel count."""
+    """×4 pixel-shuffle upsample keeping the channel count.
+
+    `subpixel_out=True` returns the PRE-shuffle (B, H, W, 16, C) form
+    after the LayerNorm. Exactly equivalent params and math: the LN
+    normalises each OUTPUT pixel over its C channels, and every
+    (h, w, s) row of the subpixel form IS one output pixel — so a
+    caller can run the 1×1 class head at H×W and shuffle the n_class
+    channels instead of C (the full-res C-channel transpose is the
+    expensive part of the tail; see DecoderLayer)."""
+    subpixel_out: bool = False
 
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
         x = Linear(16 * C, use_bias=False, name="expand")(x)
+        if self.subpixel_out:
+            x = x.reshape(B, H, W, 16, C)
+            return LayerNorm(name="norm")(x)
         x = x.reshape(B, H, W, 4, 4, C)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, 4 * H, 4 * W, C)
         return LayerNorm(name="norm")(x)
@@ -92,6 +104,27 @@ class DecoderLayer(nn.Module):
                           deterministic=self.deterministic,
                           name="layer_lka_2")(x)
             if self.is_last:
+                import os as _os
+                if _os.environ.get("DLKA_TAIL_SUBPIXEL", "1") == "1":
+                    # Subpixel-form tail: expand+LN+head all at H×W,
+                    # shuffle the n_class channels last. Bit-equivalent
+                    # (the 1×1 head is position-independent; LN rows
+                    # map 1:1 to output pixels — FinalPatchExpand_X4
+                    # docstring) but skips the (4H, 4W, C) transpose
+                    # materialisation. Trace-time knob like the other
+                    # DLKA_* switches; default ON after the TPU
+                    # model-level gate (5.93 → 5.84 ms/fwd, both
+                    # passes, PERF.md round-5 2D entry).
+                    y = FinalPatchExpand_X4(name="layer_up",
+                                            subpixel_out=True)(x)
+                    B, H, W, S, C = y.shape
+                    y = Conv2d(self.n_class, 1, use_bias=True,
+                               name="last_layer")(
+                        y.reshape(B, H, W * S, C))
+                    y = y.reshape(B, H, W, 4, 4, self.n_class)
+                    x = y.transpose(0, 1, 3, 2, 4, 5).reshape(
+                        B, 4 * H, 4 * W, self.n_class)
+                    return x
                 x = FinalPatchExpand_X4(name="layer_up")(x)
                 x = Conv2d(self.n_class, 1, use_bias=True,
                            name="last_layer")(x)

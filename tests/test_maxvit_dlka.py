@@ -54,3 +54,32 @@ def test_lka_baseline_smaller_and_runs():
     assert nb < nd
     out = base.apply(vb, x)
     assert out.shape == (1, 224, 224, 9)
+
+
+def test_subpixel_tail_parity():
+    """DLKA_TAIL_SUBPIXEL=1 (expand+LN+head at H×W, shuffle n_class
+    channels last) is numerically equivalent to the reference-ordered
+    tail (shuffle C channels, then LN+head at 4H×4W): the 1×1 head is
+    position-independent and every subpixel row is one output pixel of
+    the shuffled map. Same params either way."""
+    import os
+    from deformablelka_tpu.models.maxvit_dlka import DecoderLayer
+
+    layer = DecoderLayer(out_dim=24, n_class=5, is_last=True)
+    rng = jax.random.PRNGKey(0)
+    rs = np.random.RandomState(0)
+    x1 = jnp.asarray(rs.randn(2, 8, 8, 24), jnp.float32)
+    x2 = jnp.asarray(rs.randn(2, 8, 8, 24), jnp.float32)
+
+    os.environ["DLKA_TAIL_SUBPIXEL"] = "0"
+    try:
+        variables = layer.init(rng, x1, x2)
+        y_ref = layer.apply(variables, x1, x2)
+        # bare apply retraces, so the trace-time knob is re-read
+        os.environ["DLKA_TAIL_SUBPIXEL"] = "1"
+        y_sub = layer.apply(variables, x1, x2)
+    finally:
+        del os.environ["DLKA_TAIL_SUBPIXEL"]
+    assert y_ref.shape == y_sub.shape == (2, 32, 32, 5)
+    np.testing.assert_allclose(np.asarray(y_sub), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
