@@ -258,6 +258,40 @@ def _window2d_impl(x, offset, w, stride, padding, dilation, groups,
     xp = jnp.pad(x, ((0, 0), (lo, hi), (lo, hi), (0, 0)))
     span = 2 * radius + 1
 
+    if os.environ.get("DLKA_DEFORM2D_UNROLL", "0") == "1":
+        # Unrolled tap loop: the lax.scan streams one tap per
+        # iteration, so at decoder shapes (56²×96 bf16 = 0.6 MB maps)
+        # every tap pays kernel-launch + acc round-trip overhead that
+        # dwarfs the FMA work — K=49 measured 1.438 ms vs a ~0.1 ms
+        # bandwidth floor (probe_dec0_r4, 2026-08-20). Unrolling gives
+        # XLA the whole tap set to fuse, and the static python taps
+        # turn every window read into a static strided slice. Same
+        # math, same accumulation order.
+        ph, pw = _tuple(padding, 2)
+        dh, dw = _tuple(dilation, 2)
+        taps_static = [(i * dh - ph, j * dw - pw)
+                       for i in range(kh) for j in range(kw)]
+        out = jnp.zeros((B, Ho, Wo, cout), compute_dtype)
+        for k, (ty, tx) in enumerate(taps_static):
+            hy, hx = _hats2d(off[k], radius, compute_dtype)
+            samp = jnp.zeros((B, Ho, Wo, C), compute_dtype)
+            for iy in range(span):
+                y0 = lo + ty + iy - radius
+                for ix in range(span):
+                    x0 = lo + tx + ix - radius
+                    wgt = (hy[iy] * hx[ix])[..., None]
+                    xs = xp[:, y0:y0 + Ho, x0:x0 + Wo, :]
+                    samp = samp + wgt * xs
+            if depthwise:
+                out = out + samp * w_k[k].astype(compute_dtype)
+            else:
+                sg = samp.reshape(B, Ho * Wo, groups, cpg)
+                out = out + jnp.einsum(
+                    "bpgc,gco->bpgo", sg,
+                    w_k[k].astype(compute_dtype)).reshape(
+                    B, Ho, Wo, cout)
+        return out
+
     def tap_body(acc, kt):
         off_k, tap, wt = kt
         hy, hx = _hats2d(off_k, radius, compute_dtype)

@@ -116,6 +116,10 @@ def _forward(x, offset, w, radius: int, dil: int,
     R = radius
     m = (kk // 2) * dil + R
     CB = min(C, MAX_LANES)
+    assert C % CB == 0, (
+        f"C={C} must be a multiple of {CB} lanes (pallas2d_supported "
+        f"gates this; C=192-style shapes silently drop channels in the "
+        f"tile split otherwise)")
     n_c = C // CB
     TY, TX = _tile_of(H), _tile_of(W)
     n_y, n_x = H // TY, W // TX
