@@ -62,15 +62,20 @@ def _bwd_kernel(off_ref, xt_ref, g_ref, w_ref,
     bx = k % 3
 
     wide = (TZ, TY, TX, C)
+    # Live-state discipline (two failed attempts, 2026-08-20): (1) all
+    # 9 hat + 18 dhat arrays broadcast to (..., C) up front spilled
+    # 110.8 MB of registers at 16³C64; (2) (TZ,TY,TX)-plane hats with
+    # the 27 window terms UNROLLED still stack-OOMed at 32³C32
+    # (115.76M scoped vs the 64M kernel limit) — Mosaic keeps the
+    # dynamic-slice RMW temporaries of every unrolled term live. The
+    # shipped form runs the 27 window terms as a fori_loop with the
+    # four accumulators as carry and recomputes the six hat/dhat
+    # planes per term from the offset planes (cheap VPU math) — live
+    # state is bounded at 4 accumulators + one xs slab regardless of
+    # unrolling.
     dz_off = jnp.clip(off_ref[0], -1.0, 1.0)
     dy_off = jnp.clip(off_ref[1], -1.0, 1.0)
     dx_off = jnp.clip(off_ref[2], -1.0, 1.0)
-    hz = _relu_hats(jnp.broadcast_to(dz_off[..., None], wide), 1)
-    hy = _relu_hats(jnp.broadcast_to(dy_off[..., None], wide), 1)
-    hx = _relu_hats(jnp.broadcast_to(dx_off[..., None], wide), 1)
-    dhz = _sign_dhats(jnp.broadcast_to(dz_off[..., None], wide), hz)
-    dhy = _sign_dhats(jnp.broadcast_to(dy_off[..., None], wide), hy)
-    dhx = _sign_dhats(jnp.broadcast_to(dx_off[..., None], wide), hx)
 
     g = g_ref[...]
     # dsamp(p, ci) = Σ_co g(p, co) · w_k(ci, co)
@@ -83,32 +88,43 @@ def _bwd_kernel(off_ref, xt_ref, g_ref, w_ref,
     def _():
         dxc_ref[...] = jnp.zeros_like(dxc_ref)
 
-    samp = jnp.zeros(wide, jnp.float32)
-    az = jnp.zeros(wide, jnp.float32)
-    ay = jnp.zeros(wide, jnp.float32)
-    ax = jnp.zeros(wide, jnp.float32)
-    for iz in range(3):
-        for iy in range(3):
-            a_zy = hz[iz] * hy[iy]
-            b_zy = dhz[iz] * hy[iy]
-            c_zy = hz[iz] * dhy[iy]
-            for ix in range(3):
-                xs = xt_ref[pl.ds(bz + iz, TZ), pl.ds(by + iy, TY),
-                            pl.ds(bx + ix, TX), :]
-                w1 = a_zy * hx[ix]
-                samp = samp + w1 * xs
-                az = az + (b_zy * hx[ix]) * xs
-                ay = ay + (c_zy * hx[ix]) * xs
-                ax = ax + (a_zy * dhx[ix]) * xs
-                # dx push: canvas[p + tap + s] += hat · dsamp — the
-                # canvas is this tile's PADDED dx block, resident in
-                # VMEM across all 27 taps
-                u = w1 * dsamp
-                zsl = pl.ds(bz + iz, TZ)
-                ysl = pl.ds(by + iy, TY)
-                xsl = pl.ds(bx + ix, TX)
-                dxc_ref[zsl, ysl, xsl, :] = (
-                    dxc_ref[zsl, ysl, xsl, :] + u)
+    def win_body(widx, carry):
+        samp, az, ay, ax = carry
+        iz = widx // 9
+        iy = (widx // 3) % 3
+        ix = widx % 3
+        sz = (iz - 1).astype(jnp.float32)
+        sy = (iy - 1).astype(jnp.float32)
+        sx = (ix - 1).astype(jnp.float32)
+        hz = jnp.maximum(0.0, 1.0 - jnp.abs(dz_off - sz))
+        hy = jnp.maximum(0.0, 1.0 - jnp.abs(dy_off - sy))
+        hx = jnp.maximum(0.0, 1.0 - jnp.abs(dx_off - sx))
+        # d hat(d−s)/dd = −sign(d−s) where hat > 0 (matches
+        # _sign_dhats / the XLA VJP exactly)
+        dhz = -jnp.sign(dz_off - sz) * (hz > 0)
+        dhy = -jnp.sign(dy_off - sy) * (hy > 0)
+        dhx = -jnp.sign(dx_off - sx) * (hx > 0)
+        xs = xt_ref[pl.ds(bz + iz, TZ), pl.ds(by + iy, TY),
+                    pl.ds(bx + ix, TX), :]
+        a_zy = hz * hy
+        w1 = (a_zy * hx)[..., None]
+        samp = samp + w1 * xs
+        az = az + (dhz * hy * hx)[..., None] * xs
+        ay = ay + (hz * dhy * hx)[..., None] * xs
+        ax = ax + (a_zy * dhx)[..., None] * xs
+        # dx push: canvas[p + tap + s] += hat · dsamp — the canvas is
+        # this tile's PADDED dx block, resident in VMEM across all
+        # 27 taps
+        u = w1 * dsamp
+        zsl = pl.ds(bz + iz, TZ)
+        ysl = pl.ds(by + iy, TY)
+        xsl = pl.ds(bx + ix, TX)
+        dxc_ref[zsl, ysl, xsl, :] = dxc_ref[zsl, ysl, xsl, :] + u
+        return samp, az, ay, ax
+
+    zeros = jnp.zeros(wide, jnp.float32)
+    samp, az, ay, ax = jax.lax.fori_loop(
+        0, 27, win_body, (zeros, zeros, zeros, zeros))
 
     doff_ref[0] = jnp.sum(dsamp * az, axis=-1)
     doff_ref[1] = jnp.sum(dsamp * ay, axis=-1)
