@@ -125,10 +125,12 @@ def test_generic_unet_2d_config():
     import jax.numpy as jnp
     from deformablelka_tpu.models.generic_unet import GenericUNet
 
+    # batch 1 @ 16^2 (was 2 @ 32^2): same three-scale DS assertion,
+    # ~4x cheaper on the 1-CPU fast suite (59.7 s -> suite-trim r5)
     m = GenericUNet(num_classes=3, ndim=2, num_pool=3,
                     base_num_features=4, do_ds=True)
-    x = jnp.zeros((2, 32, 32, 1))
+    x = jnp.zeros((1, 16, 16, 1))
     v = m.init(jax.random.PRNGKey(0), x)
     outs = m.apply(v, x)
-    assert [o.shape for o in outs] == [(2, 32, 32, 3), (2, 16, 16, 3),
-                                       (2, 8, 8, 3)]
+    assert [o.shape for o in outs] == [(1, 16, 16, 3), (1, 8, 8, 3),
+                                       (1, 4, 4, 3)]

@@ -65,11 +65,11 @@ def test_subpixel_tail_parity():
     import os
     from deformablelka_tpu.models.maxvit_dlka import DecoderLayer
 
-    layer = DecoderLayer(out_dim=24, n_class=5, is_last=True)
+    layer = DecoderLayer(out_dim=16, n_class=5, is_last=True)
     rng = jax.random.PRNGKey(0)
     rs = np.random.RandomState(0)
-    x1 = jnp.asarray(rs.randn(2, 8, 8, 24), jnp.float32)
-    x2 = jnp.asarray(rs.randn(2, 8, 8, 24), jnp.float32)
+    x1 = jnp.asarray(rs.randn(1, 8, 8, 16), jnp.float32)
+    x2 = jnp.asarray(rs.randn(1, 8, 8, 16), jnp.float32)
 
     os.environ["DLKA_TAIL_SUBPIXEL"] = "0"
     try:
@@ -80,6 +80,6 @@ def test_subpixel_tail_parity():
         y_sub = layer.apply(variables, x1, x2)
     finally:
         del os.environ["DLKA_TAIL_SUBPIXEL"]
-    assert y_ref.shape == y_sub.shape == (2, 32, 32, 5)
+    assert y_ref.shape == y_sub.shape == (1, 32, 32, 5)
     np.testing.assert_allclose(np.asarray(y_sub), np.asarray(y_ref),
                                rtol=1e-5, atol=1e-5)
