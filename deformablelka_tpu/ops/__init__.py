@@ -135,7 +135,29 @@ def deform_conv2d(x, offset, w, bias=None, *, stride=1, padding=0,
                 dilation=dilation, groups=groups).astype(x.dtype)
 
         small = _jnp.max(_jnp.abs(offset.astype(_jnp.float32))) <= R
-        out = _jax.lax.cond(small, fast, slow, (x, offset, w))
+        if _os.environ.get("DLKA_HYBRID_FORM_2D", "branch") == "residual":
+            # Residual form (NEGATIVE RESULT, kept opt-in for the
+            # record): the fast branch ALWAYS runs (outside any cond,
+            # so it can fuse with the surrounding gelu/proj ops) and
+            # the cond gates only the f32 CORRECTION gather−fast,
+            # which is zero whenever |off| ≤ R (window == gather
+            # exactly there). Motivation: 2D carries 8 per-op conds
+            # and the cond-free pin measures 5.57 vs 5.93 ms/fwd
+            # in-context. Gate 2026-08-20 (--model=2d, interleaved):
+            # residual 6.37/6.39 vs branch 5.87 — the f32 w_out
+            # materialisation at every site costs more than the cond
+            # saves. Branch form stays the default; exact either way
+            # (parity test covers both offsets regimes).
+            w_out = fast((x, offset, w)).astype(_jnp.float32)
+
+            def corr(ops):
+                return (slow(ops[:3]).astype(_jnp.float32) - ops[3])
+
+            out = (w_out + _jax.lax.cond(
+                small, lambda o: _jnp.zeros_like(o[3]), corr,
+                (x, offset, w, w_out))).astype(x.dtype)
+        else:
+            out = _jax.lax.cond(small, fast, slow, (x, offset, w))
         return out if bias is None else out + bias.astype(out.dtype)
     if impl == "pallas":
         from deformablelka_tpu.ops.pallas.deform2d_kernel import (

@@ -644,3 +644,29 @@ def test_lka_fused_module_dispatch(monkeypatch):
     y2_fused = m2.apply(v2, x2)
     np.testing.assert_allclose(np.asarray(y2_fused),
                                np.asarray(y2_chain), atol=1e-5)
+
+
+def test_hybrid_residual_form_2d_exact():
+    """DLKA_HYBRID_FORM_2D=residual (opt-in; lost the model gate but
+    kept for the record) matches the gather reference on BOTH offset
+    regimes: |off|<=R takes the zero-correction path (bit-equal to the
+    window fast branch), |off|>R applies the f32 correction."""
+    import os
+    from deformablelka_tpu.ops import deform_conv2d, deform_conv2d_gather
+
+    rs = np.random.RandomState(3)
+    x = jnp.asarray(rs.randn(1, 10, 12, 8), jnp.float32)
+    w = jnp.asarray(rs.randn(3, 3, 1, 8) * 0.1, jnp.float32)
+    os.environ["DLKA_HYBRID_FORM_2D"] = "residual"
+    try:
+        for scale in (0.3, 2.5):
+            off = jnp.asarray(rs.randn(1, 10, 12, 18) * scale,
+                              jnp.float32)
+            ref = deform_conv2d_gather(x, off, w, None, stride=1,
+                                       padding=1, groups=8)
+            out = deform_conv2d(x, off, w, None, stride=1, padding=1,
+                                groups=8)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       atol=2e-5)
+    finally:
+        del os.environ["DLKA_HYBRID_FORM_2D"]
