@@ -218,19 +218,39 @@ def main():
         return
     except Exception as e:  # pragma: no cover - TPU-environment fallback
         # First line of the real message — the round-4 artifact's bare
-        # "JaxRuntimeError" hid a diagnosable VMEM-OOM (VERDICT weak #2).
-        err = f"{type(e).__name__}: {str(e).splitlines()[0][:300]}"
+        # "JaxRuntimeError" hid a diagnosable VMEM-OOM (VERDICT weak
+        # #2) — plus the first memory-detail line if the multi-line
+        # message carries one (the HTTP-500 wrapper's first line says
+        # only "subprocess exit code 1").
+        import re as _re
+        _ansi = _re.compile(r"\x1b\[[0-9;]*m")
+        lines = [_ansi.sub("", ln) for ln in str(e).splitlines()]
+        detail = next((ln.strip() for ln in lines[1:]
+                       if "vmem" in ln.lower() or "memory" in ln.lower()
+                       or "Exceeded" in ln), "")
+        err = f"{type(e).__name__}: {lines[0][:300]}"
+        if detail:
+            err += f" | {detail[:200]}"
 
     # Fallback: device-side scan of tile forwards with an on-device
     # argmax and a uint8 fetch — the same transfer discipline as the
     # main path. (The old fallback np.asarray'd the full f32 softmax:
     # ~29 MB through the ~7 MB/s tunnel, a ~20x overestimate of tile
-    # time.)
+    # time.) The forward CONSUMES the carry (input scaled by a value
+    # only derivable from the previous iteration's output): a body
+    # whose input is loop-invariant gets hoisted out of the scan by
+    # XLA and the "8 forwards" run once — the first version of this
+    # fallback overclaimed 6x that way (forced-failure dry run,
+    # 2026-08-20).
     def tile_scan(params, x):
         def body(c, _):
-            y = apply_fn(params, x)
-            return c, jnp.argmax(y, axis=-1).astype(jnp.uint8)
-        _, segs = jax.lax.scan(body, 0, None, length=8)
+            y = apply_fn(params, x * c)
+            seg = jnp.argmax(y, axis=-1).astype(jnp.uint8)
+            c2 = (c + jnp.min(seg).astype(jnp.float32) * 1e-12
+                  ).astype(x.dtype)
+            return c2, seg
+        _, segs = jax.lax.scan(body, jnp.asarray(1.0, x.dtype), None,
+                               length=8)
         return segs[-1]
 
     fwd = jax.jit(tile_scan)
