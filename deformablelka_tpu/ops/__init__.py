@@ -112,7 +112,17 @@ def deform_conv2d(x, offset, w, bias=None, *, stride=1, padding=0,
         # end-to-end gate_model_ab A/B decides the default — the r3
         # verdict's open item 4 (2D stalled at 5.9 ms).
         fast_pref = _os.environ.get("DLKA_HYBRID_FAST_2D", "window")
-        use_pallas = (impl == "hybrid" and fast_pref == "pallas"
+        # 'auto' = pallas only at the small-spatial sites where the
+        # bare-op A/B favours it (probe_deform2d_pallas_r5: 14²C384
+        # 7×7d3 pallas 0.119 vs window 0.394 ms; at 56²C96 the window
+        # wins 0.097 vs 0.819). Model gate 2026-08-20: auto 5.88/5.91
+        # vs window 5.83/5.83 — the isolated small-site win does not
+        # compose (eighth such result); 'window' stays the default and
+        # 'auto' is a documented opt-in.
+        want_pallas = (fast_pref == "pallas"
+                       or (fast_pref == "auto"
+                           and x.shape[1] * x.shape[2] <= 196))
+        use_pallas = (impl == "hybrid" and want_pallas
                       and pallas2d_supported(
                           w.shape, stride, _t(padding, 2), dilation,
                           groups, x.shape[-1], x.shape[1:3]))
