@@ -189,11 +189,17 @@ def main():
         # protocol, argmax ON DEVICE, fetch the uint8 seg — fetching the
         # float32 softmax instead costs ~25 s/vol of pure tunnel
         # transfer (165 MB at ~7 MB/s), a PCIe-nonexistent artifact.
+        # tta_batch=8: all 8 mirror flips in ONE batched forward.
+        # Round-5 re-gate on the v5x-default model (2-tile protocol,
+        # two interleaved passes): batch 2 = 1350, 4 = 1135,
+        # 8 = 1007-1035 ms/vol — monotone, ~10% over the r3-gated 4.
+        # (The r1-era "batch 1 wins" measurement predates the fast
+        # kernels; the trend inverted as the per-forward cost fell.)
         sw = SlidingWindowInference(apply_fn, patch_size=patch,
                                     num_classes=14, step_size=0.5,
                                     do_mirroring=True, loop_mode="scan",
                                     input_dtype=jnp.bfloat16,
-                                    tta_batch=4)
+                                    tta_batch=8)
         vol = np.random.RandomState(0).randn(96, 192, 160, 1).astype(
             np.float32)
         t0 = time.time()

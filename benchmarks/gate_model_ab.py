@@ -123,7 +123,7 @@ def main():
             lambda v, xx: model.apply(v, xx.astype(jnp.bfloat16)),
             patch_size=(64, 128, 128), num_classes=14, step_size=0.5,
             do_mirroring=True, loop_mode="scan",
-            input_dtype=jnp.bfloat16, tta_batch=4)
+            input_dtype=jnp.bfloat16, tta_batch=8)
         vol = np.random.RandomState(0).randn(64, 128, 192, 1).astype(
             np.float32)
         sw.predict_segmentation(variables, vol)  # compile + warm
